@@ -1,0 +1,50 @@
+"""Device-kernel layer: static-shape JAX/Pallas primitives.
+
+Every C++/CUDA component of the reference (SURVEY.md §2) maps here; none of
+them survive as host code except the numpy twins used by the data pipeline.
+"""
+from .masked import NEG_INF, mask_matrix, masked_instance_norm, masked_mean, masked_var
+from .sinkhorn import dual_softmax_conf_matrix, log_sinkhorn, sinkhorn_conf_matrix
+from .position_encoding import embed_pos, embed_rotary, volumetric_pe
+from .select import (
+    Correspondences,
+    extract_correspondences,
+    mutual_topk_correspondences,
+    mutual_topk_mask,
+    thresholded_mutual_argmax_mask,
+)
+from .subsample import grid_subsample, grid_subsample_np, grid_subsample_with_features_np
+from .neighbors import knn, knn_np, radius_neighbors, radius_neighbors_np
+from .kpconv import closest_pool, kpconv, max_pool
+from .kernel_points import load_kernel_points, unit_kernel_points
+
+__all__ = [
+    "NEG_INF",
+    "mask_matrix",
+    "masked_instance_norm",
+    "masked_mean",
+    "masked_var",
+    "log_sinkhorn",
+    "sinkhorn_conf_matrix",
+    "dual_softmax_conf_matrix",
+    "volumetric_pe",
+    "embed_rotary",
+    "embed_pos",
+    "Correspondences",
+    "mutual_topk_mask",
+    "mutual_topk_correspondences",
+    "extract_correspondences",
+    "thresholded_mutual_argmax_mask",
+    "grid_subsample",
+    "grid_subsample_np",
+    "grid_subsample_with_features_np",
+    "radius_neighbors",
+    "radius_neighbors_np",
+    "knn",
+    "knn_np",
+    "kpconv",
+    "max_pool",
+    "closest_pool",
+    "load_kernel_points",
+    "unit_kernel_points",
+]

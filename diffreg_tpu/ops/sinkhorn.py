@@ -1,0 +1,91 @@
+"""Log-space Sinkhorn optimal transport with a learned dustbin.
+
+Re-implements the semantics of the reference ``log_optimal_transport``
+(Diff-Reg-3dmatch/models/matching.py:61-93): an (N+1)x(M+1) augmented score
+matrix with a single learnable dustbin score ``alpha``, marginals that give
+each real row/col mass 1/(ms+ns) and the dustbins mass ns/(ms+ns) resp.
+ms/(ms+ns), and ``iters`` alternating log-domain normalizations.
+
+TPU-first details:
+  * fixed iteration count unrolled inside jit (3 in all reference configs);
+  * masking uses a large finite negative (see ops.masked.NEG_INF) so that
+    gradients never see NaN — exp() underflows to exactly 0;
+  * everything is batched [B, N, M] and shape-static, so XLA fuses the whole
+    loop into a handful of HBM-resident logsumexp kernels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .masked import NEG_INF, mask_matrix
+
+
+def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
+    """Run masked log-space Sinkhorn with dustbins.
+
+    Args:
+      scores:   [B, N, M] similarity matrix (padding entries are overwritten).
+      alpha:    scalar dustbin score (learnable).
+      iters:    python int, number of Sinkhorn iterations (unrolled).
+      src_mask: [B, N] bool or None.
+      tgt_mask: [B, M] bool or None.
+
+    Returns:
+      [B, N+1, M+1] log assignment matrix Z with ``Z - log(ms+ns)`` removed
+      exactly as the reference does, so ``exp(Z)[:, :-1, :-1]`` are the match
+      confidences.
+    """
+    b, n, m = scores.shape
+    dtype = scores.dtype
+
+    if src_mask is None:
+        ms = jnp.full((b, 1), float(n), dtype)
+        ns = jnp.full((b, 1), float(m), dtype)
+    else:
+        scores = mask_matrix(scores, src_mask, tgt_mask)
+        ms = src_mask.sum(axis=1, keepdims=True).astype(dtype)  # [B, 1]
+        ns = tgt_mask.sum(axis=1, keepdims=True).astype(dtype)
+
+    alpha = jnp.asarray(alpha, dtype)
+    bins0 = jnp.broadcast_to(alpha, (b, n, 1))
+    bins1 = jnp.broadcast_to(alpha, (b, 1, m))
+    corner = jnp.broadcast_to(alpha, (b, 1, 1))
+
+    z = jnp.concatenate(
+        [
+            jnp.concatenate([scores, bins0], axis=2),
+            jnp.concatenate([bins1, corner], axis=2),
+        ],
+        axis=1,
+    )  # [B, N+1, M+1]
+
+    norm = -jnp.log(ms + ns)  # [B, 1]
+    log_mu = jnp.concatenate([jnp.broadcast_to(norm, (b, n)), jnp.log(ns) + norm], axis=1)
+    log_nu = jnp.concatenate([jnp.broadcast_to(norm, (b, m)), jnp.log(ms) + norm], axis=1)
+
+    u = jnp.zeros_like(log_mu)
+    v = jnp.zeros_like(log_nu)
+    for _ in range(int(iters)):
+        u = log_mu - jax.nn.logsumexp(z + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(z + u[:, :, None], axis=1)
+
+    z = z + u[:, :, None] + v[:, None, :]
+    return z - norm[:, :, None]
+
+
+def sinkhorn_conf_matrix(scores, alpha, iters, src_mask=None, tgt_mask=None):
+    """Convenience wrapper: [B, N, M] match confidences (dustbins dropped)."""
+    z = log_sinkhorn(scores, alpha, iters, src_mask, tgt_mask)
+    return jnp.exp(z)[:, :-1, :-1]
+
+
+def dual_softmax_conf_matrix(sim, temperature, src_mask=None, tgt_mask=None):
+    """Dual-softmax matcher (reference matching.py:193-203)."""
+    sim = sim / temperature
+    if src_mask is not None:
+        s1 = jnp.where(src_mask[:, :, None], sim, NEG_INF)
+        s2 = jnp.where(tgt_mask[:, None, :], sim, NEG_INF)
+    else:
+        s1 = s2 = sim
+    return jax.nn.softmax(s1, axis=1) * jax.nn.softmax(s2, axis=2)
