@@ -1,0 +1,101 @@
+"""Benchmark: registered pairs/sec through the full diffusion pipeline.
+
+Measures the end-to-end registration rate — KPFCN backbone + DDIM reverse
+loop (sample_steps configurable) + on-device RANSAC pose — on realistic
+3DMatch-scale shapes, batched, on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "registered_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / 50.0}
+(the 50 pairs/s v5e-8 target from BASELINE.md; single-chip numbers scale
+~linearly over the data axis).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_points = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+
+    from diffreg_tpu.data import ShapeSpec, synthetic_batch
+    from diffreg_tpu.data.pyramid import PyramidConfig
+    from diffreg_tpu.eval import ransac_pose
+    from diffreg_tpu.models import DiffusionMatchingModel
+    from diffreg_tpu.models.presets import preset_3dmatch
+    from diffreg_tpu.ops.select import extract_correspondences
+
+    # 3DMatch-scale bucket: ~4k raw points/side, ~512 coarse tokens/side.
+    pcfg = PyramidConfig(first_subsampling_dl=0.03, coarse_match_radius=0.1)
+    spec = ShapeSpec(
+        n_points=(2 * n_points, n_points, n_points // 4, n_points // 16),
+        k_neighbors=(34, 34, 34, 34),
+        k_pools=(34, 34, 34),
+        k_upsamples=(4, 4, 4),
+        n_src=512, n_tgt=512, n_gt_matches=256,
+    )
+    batch, _, _ = synthetic_batch(
+        batch_size=batch_size, n_points=n_points, seed=0, spec=spec, cfg=pcfg)
+
+    cfg = preset_3dmatch(sample_steps=steps)
+    model = DiffusionMatchingModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)
+
+    max_corr = spec.n_src + spec.n_tgt
+
+    @jax.jit
+    def register(variables, batch, rng):
+        out = model.apply(variables, batch, rng, mode="ddim")
+
+        def one_pair(conf, corr_mask, s_pcd, t_pcd, key):
+            corrs = extract_correspondences(corr_mask, conf, max_corr)
+            src_c = s_pcd[corrs.src_idx]
+            tgt_c = t_pcd[corrs.tgt_idx]
+            res = ransac_pose(key, src_c, tgt_c, corrs.valid,
+                              distance_threshold=0.05, num_hypotheses=8192)
+            return res.rotation, res.translation
+
+        keys = jax.random.split(rng, batch.src_mask.shape[0])
+        rot, trn = jax.vmap(one_pair)(
+            out["conf_matrix_pred"], out["corr_mask"], out["s_pcd"], out["t_pcd"], keys)
+        return rot, trn
+
+    # warmup/compile
+    r, t = register(variables, batch, rng)
+    jax.block_until_ready(r)
+
+    # timed runs
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r, t = register(variables, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "registered_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 50.0, 4),
+        "detail": {
+            "sample_steps": steps,
+            "batch_size": batch_size,
+            "n_points_per_side": n_points,
+            "device": str(jax.devices()[0]),
+            "seconds_per_batch": round(dt / iters, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

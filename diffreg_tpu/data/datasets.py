@@ -1,0 +1,162 @@
+"""Dataset readers: 3DMatch (Predator pkl splits) and 4DMatch (npz entries).
+
+Re-implements the reference dataset layer (Diff-Reg-3dmatch/datasets/
+_3dmatch.py:15-135, _4dmatch.py:58-146) without torch dataloaders: plain
+iterable readers that yield raw pair dicts; the pyramid builder + bucketer
+turn them into device batches. Parallel host loading is handled by the
+native prefetcher (see diffreg_tpu.data.loader).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _load_cloud(path: str) -> np.ndarray:
+    """Load a point cloud saved as .pth (torch), .npy or .npz['pcd']."""
+    if path.endswith((".pth", ".pt")):
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(t, dtype=np.float32)
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    raise ValueError(f"unsupported cloud format: {path}")
+
+
+def _random_so3(rng: np.random.RandomState, rot_factor: float = 1.0) -> np.ndarray:
+    """Random rotation from zyx Euler angles in [0, 2pi/rot_factor) —
+    matches the reference augmentation (_3dmatch.py:95-96)."""
+    from scipy.spatial.transform import Rotation
+
+    euler = rng.rand(3) * 2.0 * np.pi / rot_factor
+    return Rotation.from_euler("zyx", euler).as_matrix().astype(np.float32)
+
+
+class ThreeDMatchPairDataset:
+    """Predator-format split: pkl with rot/trans/src/tgt[/gt_cov] lists.
+
+    Yields dicts: src_pcd, tgt_pcd, rot, trn, gt_cov. Augmentation follows
+    _3dmatch.py:93-106 (random SO(3) applied to one side, uniform noise).
+    """
+
+    def __init__(self, info_path: str, data_root: str, *, augment: bool = False,
+                 augment_noise: float = 0.005, max_points: int = 30000,
+                 rot_factor: float = 1.0, seed: int = 0):
+        with open(info_path, "rb") as f:
+            self.infos = pickle.load(f)
+        self.data_root = data_root
+        self.augment = augment
+        self.augment_noise = augment_noise
+        self.max_points = max_points
+        self.rot_factor = rot_factor
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.infos["rot"])
+
+    def __getitem__(self, item: int) -> dict:
+        rot = np.asarray(self.infos["rot"][item], np.float32)
+        trn = np.asarray(self.infos["trans"][item], np.float32).reshape(3, 1)
+        gt_cov = None
+        if "gt_cov" in self.infos and self.infos["gt_cov"] is not None:
+            gt_cov = np.asarray(self.infos["gt_cov"][item], np.float32)
+
+        src = _load_cloud(os.path.join(self.data_root, self.infos["src"][item]))
+        tgt = _load_cloud(os.path.join(self.data_root, self.infos["tgt"][item]))
+
+        if len(src) > self.max_points:
+            src = src[self.rng.permutation(len(src))[:self.max_points]]
+        if len(tgt) > self.max_points:
+            tgt = tgt[self.rng.permutation(len(tgt))[:self.max_points]]
+
+        if self.augment:
+            rot_ab = _random_so3(self.rng, self.rot_factor)
+            if self.rng.rand() > 0.5:
+                src = src @ rot_ab.T
+                rot = rot @ rot_ab.T
+            else:
+                tgt = tgt @ rot_ab.T
+                rot = rot_ab @ rot
+                trn = rot_ab @ trn
+            src = src + (self.rng.rand(*src.shape).astype(np.float32) - 0.5) * self.augment_noise
+            tgt = tgt + (self.rng.rand(*tgt.shape).astype(np.float32) - 0.5) * self.augment_noise
+
+        return {"src_pcd": src.astype(np.float32), "tgt_pcd": tgt.astype(np.float32),
+                "rot": rot, "trn": trn, "gt_cov": gt_cov, "scene_flow": None,
+                "metric_index": None}
+
+
+class FourDMatchPairDataset:
+    """4DMatch: directory of .npz entries with src/tgt clouds, s2t_flow and
+    metric_index (datasets/_4dmatch.py:58-146), with augmentation like the
+    reference train split."""
+
+    def __init__(self, split_dir: str, *, augment: bool = False,
+                 augment_noise: float = 0.002, max_points: int = 30000, seed: int = 0):
+        self.entries = sorted(glob.glob(os.path.join(split_dir, "**", "*.npz"),
+                                        recursive=True))
+        self.augment = augment
+        self.augment_noise = augment_noise
+        self.max_points = max_points
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, item: int) -> dict:
+        with np.load(self.entries[item]) as z:
+            src = z["src_pcd_list"] if "src_pcd_list" in z else z["src_pcd"]
+            tgt = z["tgt_pcd_list"] if "tgt_pcd_list" in z else z["tgt_pcd"]
+            flow = z["s2t_flow"] if "s2t_flow" in z else np.zeros_like(src)
+            rot = z["rot"] if "rot" in z else np.eye(3, dtype=np.float32)
+            trn = z["trans"] if "trans" in z else np.zeros((3, 1), np.float32)
+            metric_index = z["metric_index"] if "metric_index" in z else None
+
+        src = np.asarray(src, np.float32)
+        tgt = np.asarray(tgt, np.float32)
+        flow = np.asarray(flow, np.float32)
+        rot = np.asarray(rot, np.float32)
+        trn = np.asarray(trn, np.float32).reshape(3, 1)
+
+        if self.augment:
+            src = src + (self.rng.rand(*src.shape).astype(np.float32) - 0.5) * self.augment_noise
+            tgt = tgt + (self.rng.rand(*tgt.shape).astype(np.float32) - 0.5) * self.augment_noise
+
+        return {"src_pcd": src, "tgt_pcd": tgt, "rot": rot, "trn": trn,
+                "gt_cov": None, "scene_flow": flow,
+                "metric_index": None if metric_index is None else np.asarray(metric_index, np.int64)}
+
+
+def iterate_batches(dataset, spec, pyr_cfg, batch_size: int, *, shuffle=False,
+                    seed=0, drop_last=False) -> Iterator:
+    """Simple host loader: pyramid-build each pair, group into PairBatches."""
+    from .pyramid import batch_from_samples, build_pair_pyramid
+
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+
+    buf, metas = [], []
+    for i in order:
+        raw = dataset[int(i)]
+        try:
+            sample = build_pair_pyramid(
+                raw["src_pcd"], raw["tgt_pcd"], raw["rot"], raw["trn"],
+                pyr_cfg, spec, scene_flow=raw.get("scene_flow"),
+                gt_cov=raw.get("gt_cov"))
+        except ValueError:
+            # pair overflows the bucket — skip (or route to a bigger bucket
+            # when multi-bucket loading lands)
+            continue
+        buf.append(sample)
+        metas.append(raw)
+        if len(buf) == batch_size:
+            yield batch_from_samples(buf), metas
+            buf, metas = [], []
+    if buf and not drop_last:
+        yield batch_from_samples(buf), metas

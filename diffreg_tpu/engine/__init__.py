@@ -1,0 +1,23 @@
+from .checkpoint import CheckpointManager
+from .losses import LossConfig, diffreg_loss, focal_correspondence_loss, match_recall_precision
+from .tester import FourDMatchTester, TestConfig, ThreeDMatchTester
+from .train import OptimConfig, TrainState, create_train_state, make_optimizer, make_train_step
+from .trainer import Trainer, TrainerConfig
+
+__all__ = [
+    "LossConfig",
+    "diffreg_loss",
+    "focal_correspondence_loss",
+    "match_recall_precision",
+    "OptimConfig",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "Trainer",
+    "TrainerConfig",
+    "CheckpointManager",
+    "TestConfig",
+    "ThreeDMatchTester",
+    "FourDMatchTester",
+]

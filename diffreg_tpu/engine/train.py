@@ -1,0 +1,99 @@
+"""Training engine: optimizer construction, jitted train step, NaN guard.
+
+TPU-native equivalent of the reference Trainer wiring (lib/trainer.py:16-290
++ main.py optimizer/scheduler construction):
+  * SGD+momentum or Adam with exponential LR decay (main.py:89-117 semantics);
+  * gradient accumulation via ``optax.MultiSteps`` (== ``iter_size``);
+  * the NaN/Inf gradient guard ``validate_gradient`` (lib/utils.py:96-107)
+    becomes ``optax.zero_nans`` + a logged all-finite flag — no host sync;
+  * data parallelism: the step function is jitted under a ``Mesh`` with the
+    batch sharded over the ``data`` axis; XLA inserts the gradient psum
+    (see diffreg_tpu.parallel).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core as flax_core
+
+from .losses import LossConfig, diffreg_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "sgd"          # sgd | adam
+    lr: float = 0.015
+    momentum: float = 0.93
+    weight_decay: float = 1e-6
+    scheduler_gamma: float = 0.95   # ExpLR decay per epoch
+    steps_per_epoch: int = 1000
+    grad_accum_steps: int = 1       # iter_size
+    max_grad_norm: float = 0.0      # 0 = off
+
+
+class TrainState(NamedTuple):
+    params: Any
+    buffers: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    sched = optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.steps_per_epoch,
+        decay_rate=cfg.scheduler_gamma,
+        staircase=True,
+    )
+    chain = [optax.zero_nans()]
+    if cfg.max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    if cfg.optimizer == "sgd":
+        if cfg.weight_decay > 0:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain.append(optax.sgd(sched, momentum=cfg.momentum))
+    elif cfg.optimizer == "adam":
+        chain.append(optax.adamw(sched, weight_decay=cfg.weight_decay))
+    else:
+        raise ValueError(cfg.optimizer)
+    tx = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
+
+
+def create_train_state(model, batch, rng, optim_cfg: OptimConfig) -> TrainState:
+    variables = model.init({"params": rng}, batch, rng, mode="train")
+    params = variables["params"]
+    buffers = variables.get("buffers", flax_core.freeze({}))
+    tx = make_optimizer(optim_cfg)
+    return TrainState(params, buffers, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, loss_cfg: LossConfig, optim_cfg: OptimConfig) -> Callable:
+    tx = make_optimizer(optim_cfg)
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params, "buffers": state.buffers}, batch, rng, mode="train")
+            loss, info = diffreg_loss(outputs, batch, loss_cfg)
+            return loss, info
+
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # all-finite flag (reference validate_gradient logs and skips)
+        flat = jax.tree.leaves(grads)
+        grads_finite = jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in flat]))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        info = dict(info)
+        info["grads_finite"] = grads_finite
+        info["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(params, state.buffers, opt_state, state.step + 1)
+        return new_state, info
+
+    return train_step

@@ -1,0 +1,130 @@
+"""Registration evaluation metrics — IR / FMR / RR / NFMR, device + host.
+
+Re-implements the reference metric stack:
+  * inlier ratio under the GT transform (models/loss.py:382-410);
+  * registration recall via the Predator covariance-weighted transform error
+    (models/loss.py:27-44, 414-448; redwood-data.org formulation);
+  * NFMR for deformable pairs: blend predicted anchor motions onto metric
+    points with radius-limited 3-NN inverse-distance weights
+    (models/loss.py:178-271);
+  * rotation / translation errors (RRE / RTE).
+
+All functions take fixed-size correspondence buffers with validity masks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def matrix_to_quaternion(r):
+    """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w, x, y, z).
+
+    Shepperd's numerically-stable branch selection via the 4-way max.
+    """
+    m00, m01, m02 = r[..., 0, 0], r[..., 0, 1], r[..., 0, 2]
+    m10, m11, m12 = r[..., 1, 0], r[..., 1, 1], r[..., 1, 2]
+    m20, m21, m22 = r[..., 2, 0], r[..., 2, 1], r[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    qw0 = jnp.sqrt(jnp.clip(1 + tr, 1e-12, None)) / 2
+    q0 = jnp.stack([qw0, (m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0), (m10 - m01) / (4 * qw0)], -1)
+
+    s1 = jnp.sqrt(jnp.clip(1 + m00 - m11 - m22, 1e-12, None)) * 2
+    q1 = jnp.stack([(m21 - m12) / s1, s1 / 4, (m01 + m10) / s1, (m02 + m20) / s1], -1)
+
+    s2 = jnp.sqrt(jnp.clip(1 - m00 + m11 - m22, 1e-12, None)) * 2
+    q2 = jnp.stack([(m02 - m20) / s2, (m01 + m10) / s2, s2 / 4, (m12 + m21) / s2], -1)
+
+    s3 = jnp.sqrt(jnp.clip(1 - m00 - m11 + m22, 1e-12, None)) * 2
+    q3 = jnp.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3, s3 / 4], -1)
+
+    cond = jnp.stack([tr, m00, m11, m22], -1)
+    best = jnp.argmax(cond, axis=-1)
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)
+    q = jnp.take_along_axis(qs, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def inlier_ratio(src_corr, tgt_corr, corr_valid, rot_gt, trn_gt,
+                 inlier_thr=0.1, coarse_flow_corr=None, min_matches=3):
+    """IR for one pair given correspondence point buffers (loss.py:382-410).
+
+    src_corr/tgt_corr: [C, 3]; corr_valid: [C]. For 4DMatch pass the blended
+    per-correspondence flow to deform the source before the GT warp.
+    """
+    base = src_corr + coarse_flow_corr if coarse_flow_corr is not None else src_corr
+    warped = base @ rot_gt.T + trn_gt.reshape(1, 3)
+    d2 = jnp.sum((warped - tgt_corr) ** 2, axis=1)
+    inl = (d2 < inlier_thr**2) & corr_valid
+    n = corr_valid.sum()
+    ir = inl.sum() / jnp.maximum(n, 1)
+    return jnp.where(n >= min_matches, ir, 0.0)
+
+
+def transformation_error_covariance(pred_rot, pred_trn, rot_gt, trn_gt, info):
+    """Predator/redwood covariance-weighted transform error (loss.py:27-44).
+
+    trans = inv(gt) @ pred; er = [t; quat_xyz]; p = er^T info er / info[0,0].
+    """
+    rel_r = jnp.swapaxes(rot_gt, -1, -2) @ pred_rot
+    rel_t = jnp.swapaxes(rot_gt, -1, -2) @ (pred_trn - trn_gt)
+    q = matrix_to_quaternion(rel_r)
+    er = jnp.concatenate([rel_t[..., 0], q[..., 1:]], axis=-1)  # [..., 6]
+    p = jnp.einsum("...i,...ij,...j->...", er, info, er) / info[..., 0, 0]
+    return p
+
+
+def registration_recall_success(pred_rot, pred_trn, rot_gt, trn_gt, gt_cov, thr=0.2):
+    """Boolean success per pair: covariance transform error <= thr^2."""
+    p = transformation_error_covariance(pred_rot, pred_trn, rot_gt, trn_gt, gt_cov)
+    return p <= thr**2
+
+
+def blend_anchor_motion(query, anchors, anchor_motion, anchor_valid,
+                        knn=3, search_radius=0.1):
+    """IDW-blend anchor motion onto query points (loss.py:250-271).
+
+    query: [M, 3]; anchors: [A, 3] (padded, valid mask). Returns
+    (blended [M, 3], invalid_mask [M]) where invalid means <3 anchors in
+    radius — those queries count as failures.
+    """
+    big = 1e6
+    a = jnp.where(anchor_valid[:, None], anchors, big)
+    d2 = jnp.sum((query[:, None, :] - a[None, :, :]) ** 2, axis=-1)  # [M, A]
+    neg, idx = jax.lax.top_k(-d2, knn)
+    dists = jnp.sqrt(jnp.clip(-neg, 1e-20, None))
+    dists = jnp.maximum(dists, 1e-10)
+    out_of_range = dists > search_radius
+    w = 1.0 / jnp.where(out_of_range, 1e10, dists)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    motion = jnp.take(anchor_motion, idx, axis=0)                 # [M, k, 3]
+    blended = jnp.sum(motion * w[..., None], axis=1)
+    invalid = out_of_range.sum(axis=1) >= knn
+    return blended, invalid
+
+
+def nfmr(metric_pcd, metric_flow_gt, rot_gt, trn_gt,
+         anchor_src, anchor_tgt, anchor_valid, metric_valid,
+         recall_thr=0.04, min_anchors=3):
+    """Non-rigid feature matching recall for one pair (loss.py:178-248).
+
+    metric_pcd: [M, 3] raw metric points; metric_flow_gt: [M, 3] GT scene
+    flow; anchors are matched coarse correspondences (motion anchors).
+    """
+    motion_pred = anchor_tgt - anchor_src
+    blended, invalid = blend_anchor_motion(
+        metric_pcd, anchor_src, motion_pred, anchor_valid)
+    pred_warped = metric_pcd + blended
+    gt_warped = (metric_pcd + metric_flow_gt) @ rot_gt.T + trn_gt.reshape(1, 3)
+    dist = jnp.linalg.norm(pred_warped - gt_warped, axis=1)
+    ok = (dist < recall_thr) & metric_valid
+    n = jnp.maximum(metric_valid.sum(), 1)
+    r = ok.sum() / n
+    return jnp.where(anchor_valid.sum() >= min_anchors, r, 0.0)
+
+
+def fmr_from_irs(irs: np.ndarray, fmr_thr: float = 0.05) -> float:
+    """Feature matching recall = fraction of pairs with IR > threshold."""
+    return float((np.asarray(irs) > fmr_thr).mean())

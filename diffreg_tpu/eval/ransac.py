@@ -1,0 +1,84 @@
+"""Correspondence-based RANSAC — fully on-device, all hypotheses in parallel.
+
+Replaces Open3D's ``registration_ransac_based_on_correspondence`` (reference
+models/loss.py:13-24: 50k sequential iterations on host CPU per pair). On
+TPU all hypotheses are evaluated at once: sample 3-point minimal sets from
+the correspondence list, solve Horn per hypothesis (batched), count inliers,
+pick the best, then refine with weighted Kabsch on the inlier set.
+
+This is the pairs/sec path; metric parity with the reference's RANSAC is at
+the *metric* level (the reference itself averages 3 runs because its RANSAC
+is nondeterministic, lib/tester.py:19-25).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.procrustes import weighted_kabsch
+
+
+class RansacResult(NamedTuple):
+    rotation: jnp.ndarray      # [3, 3]
+    translation: jnp.ndarray   # [3, 1]
+    inlier_count: jnp.ndarray  # scalar int
+    best_fraction: jnp.ndarray # inliers / valid corrs
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
+def ransac_pose(
+    rng,
+    src_corr,          # [C, 3] source points of correspondences (padded)
+    tgt_corr,          # [C, 3] target points
+    corr_valid,        # [C] bool
+    distance_threshold=0.05,
+    num_hypotheses=16384,
+    refine_iters=2,
+):
+    """RANSAC from correspondences for ONE pair. vmap over pairs as needed."""
+    c = src_corr.shape[0]
+    n_valid = jnp.maximum(corr_valid.sum(), 1)
+
+    # --- sample 3 distinct-ish correspondence indices per hypothesis ---
+    u = jax.random.uniform(rng, (num_hypotheses, 3))
+    idx = jnp.clip((u * n_valid).astype(jnp.int32), 0, c - 1)   # uniform over valid prefix?
+    # corr arrays are score-sorted with valid entries first, so indices
+    # [0, n_valid) hit exactly the valid set.
+    s3 = src_corr[idx]                                          # [H, 3, 3]
+    t3 = tgt_corr[idx]
+
+    w3 = jnp.ones((num_hypotheses, 3, 1))
+    r_h, t_h, _ = weighted_kabsch(s3, t3, w3)                   # [H, 3, 3], [H, 3, 1]
+
+    # --- inlier counting over all correspondences for all hypotheses ---
+    warped = jnp.einsum("hij,cj->hci", r_h, src_corr) + jnp.swapaxes(t_h, 1, 2)
+    d2 = jnp.sum((warped - tgt_corr[None]) ** 2, axis=-1)       # [H, C]
+    inlier = (d2 < distance_threshold**2) & corr_valid[None]
+    counts = inlier.sum(axis=1)                                  # [H]
+
+    best = jnp.argmax(counts)
+    best_inliers = inlier[best]
+
+    r, t = r_h[best], t_h[best]
+    # --- refinement: weighted Kabsch on the inlier set, re-evaluated ---
+    for _ in range(refine_iters):
+        w = (best_inliers).astype(jnp.float32)[None, :, None]
+        r_ref, t_ref, _ = weighted_kabsch(src_corr[None], tgt_corr[None], w)
+        r_new, t_new = r_ref[0], t_ref[0]
+        warped = src_corr @ r_new.T + t_new.T
+        d2 = jnp.sum((warped - tgt_corr) ** 2, axis=-1)
+        new_inliers = (d2 < distance_threshold**2) & corr_valid
+        improve = new_inliers.sum() >= best_inliers.sum()
+        r = jnp.where(improve, r_new, r)
+        t = jnp.where(improve, t_new, t)
+        best_inliers = jnp.where(improve, new_inliers, best_inliers)
+
+    return RansacResult(
+        rotation=r,
+        translation=t,
+        inlier_count=best_inliers.sum(),
+        best_fraction=best_inliers.sum() / n_valid,
+    )

@@ -1,0 +1,154 @@
+"""CLI: train / test with reference-compatible configs.
+
+    python -m diffreg_tpu.main --config configs/test/3dmatch.yaml
+    python -m diffreg_tpu.main --config configs/test/4dmatch.yaml --thr 0.55
+    python -m diffreg_tpu.main --config configs/test/3dmatch.yaml --demo
+
+Mirrors the reference entry point (Diff-Reg-3dmatch/main.py): YAML with
+``!join`` tags -> typed config -> model/optimizer/loaders -> engine. The
+``--demo`` flag (or absent data_root) runs the full pipeline on synthetic
+pairs so the stack can be exercised without the benchmark datasets.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("diffreg_tpu")
+    p.add_argument("--config", required=True)
+    p.add_argument("--thr", type=float, default=None,
+                   help="match threshold for 4DMatch extraction (README.md:25)")
+    p.add_argument("--mode", default=None, choices=[None, "train", "test"])
+    p.add_argument("--demo", action="store_true",
+                   help="run on synthetic pairs (no dataset needed)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-pairs", type=int, default=16, help="demo pairs")
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from .data import PyramidConfig, synthetic_batch
+    from .engine import LossConfig, OptimConfig, create_train_state, make_train_step
+    from .engine.tester import FourDMatchTester, TestConfig, ThreeDMatchTester
+    from .engine.trainer import Trainer, TrainerConfig
+    from .models import DiffusionMatchingModel
+    from .utils.config import (
+        build_loss_config,
+        build_optim_config,
+        build_pipeline_config,
+        load_yaml,
+    )
+    from .utils.logging import Logger
+
+    raw = load_yaml(args.config)
+    pipeline_cfg = build_pipeline_config(raw)
+    loss_cfg = build_loss_config(raw)
+    optim_cfg = build_optim_config(raw)
+    mode = args.mode or raw.get("mode", "test")
+    batch_size = args.batch_size or int(raw.get("batch_size", 1))
+    dataset_name = str(raw.get("dataset", "3dmatch"))
+
+    save_dir = os.path.join("snapshot", raw.get("exp_dir", "run"))
+    logger = Logger(save_dir)
+    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"task={dataset_name} mode={mode} steps={pipeline_cfg.sample_steps}")
+
+    model = DiffusionMatchingModel(pipeline_cfg)
+
+    data_root = raw.get("data_root", "")
+    have_data = bool(data_root) and os.path.exists(data_root)
+    demo = args.demo or not have_data
+    if demo:
+        logger.info("demo mode: synthetic pairs (dataset not found)")
+
+        def make_iter(epoch=0, n=args.num_pairs):
+            def it():
+                for i in range(max(1, n // batch_size)):
+                    batch, _, _ = synthetic_batch(
+                        batch_size=batch_size, n_points=768,
+                        seed=1000 * epoch + i,
+                        deformable=(dataset_name == "4dmatch"))
+                    yield batch, [{}] * batch_size
+            return it()
+
+        make_test_iter = lambda: make_iter(0)
+    else:
+        from .data.batch import ShapeSpec
+        from .data.calibrate import calibrate_spec
+        from .data.datasets import (
+            FourDMatchPairDataset,
+            ThreeDMatchPairDataset,
+            iterate_batches,
+        )
+
+        split = raw["split"]["test" if mode == "test" else "train"]
+        if dataset_name == "4dmatch":
+            ds = FourDMatchPairDataset(split, augment=(mode == "train"))
+        else:
+            ds = ThreeDMatchPairDataset(split, data_root, augment=(mode == "train"),
+                                        augment_noise=float(raw.get("augment_noise", 0.005)))
+        pyr_cfg = PyramidConfig(
+            first_subsampling_dl=pipeline_cfg.kpfcn.first_subsampling_dl,
+            conv_radius=pipeline_cfg.kpfcn.conv_radius,
+            coarse_match_radius=float(raw.get("kpfcn_config", {}).get("coarse_match_radius", 0.06)),
+        )
+        sample_pairs = [(ds[i]["src_pcd"], ds[i]["tgt_pcd"])
+                        for i in range(min(8, len(ds)))]
+        spec = calibrate_spec(sample_pairs, pyr_cfg)
+        logger.info(f"calibrated spec: {spec}")
+
+        def make_iter(epoch=0):
+            return iterate_batches(ds, spec, pyr_cfg, batch_size,
+                                   shuffle=(mode == "train"), seed=epoch)
+
+        make_test_iter = lambda: make_iter(0)
+
+    rng = jax.random.PRNGKey(int(raw.get("seed", 0)))
+    if demo:
+        probe_batch, _, _ = synthetic_batch(
+            batch_size=batch_size, n_points=768, seed=0,
+            deformable=(dataset_name == "4dmatch"))
+    else:
+        probe_batch = next(make_test_iter())[0]
+
+    if mode == "train":
+        state = create_train_state(model, probe_batch, rng, optim_cfg)
+        step = jax.jit(make_train_step(model, loss_cfg, optim_cfg))
+        trainer = Trainer(step, state, make_iter,
+                          TrainerConfig(max_epoch=int(raw.get("max_epoch", 10)),
+                                        save_dir=save_dir),
+                          logger=logger, rng=rng)
+        if args.resume:
+            trainer.resume()
+        trainer.train()
+    else:
+        variables = model.init({"params": rng}, probe_batch, rng, mode="train")
+        # TODO(weights): restore converted reference checkpoint when provided
+        pretrain = raw.get("pretrain", "")
+        if pretrain and os.path.exists(pretrain):
+            from .engine.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(pretrain)
+            restored = mgr.restore(variables)
+            if restored is not None:
+                variables = restored
+                logger.info(f"restored weights from {pretrain}")
+        if dataset_name == "4dmatch":
+            tcfg = TestConfig(inlier_thr=0.04,
+                              match_thr=args.thr if args.thr is not None else 0.55)
+            tester = FourDMatchTester(model, variables, tcfg, logger)
+        else:
+            tester = ThreeDMatchTester(model, variables, TestConfig(), logger)
+        tester.test(make_test_iter, rng=rng)
+
+
+if __name__ == "__main__":
+    main()

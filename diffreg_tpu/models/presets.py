@@ -1,0 +1,110 @@
+"""Task presets mirroring the reference config YAMLs.
+
+References: Diff-Reg-3dmatch/configs/test/3dmatch.yaml, configs/models.py:3-24
+(architecture list), Diff-Reg-4dmatch twin configs.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..nn.kpfcn import KPFCNConfig
+from ..nn.matching import MatchingConfig
+from ..nn.transformer import ProcrustesConfig, TransformerConfig
+from .diffusion_matching import PipelineConfig
+
+KPFCN_ARCHITECTURE = (
+    "simple",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+)
+
+
+def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
+                   first_feats_dim: int = 256) -> PipelineConfig:
+    """3DMatch/3DLoMatch rigid registration (configs/test/3dmatch.yaml)."""
+    matching = MatchingConfig(
+        feature_dim=feature_dim,
+        match_type="sinkhorn",
+        confidence_threshold=0.2,
+        skh_init_bin_score=1.0,
+        skh_iters=3,
+    )
+    procrustes = ProcrustesConfig(
+        sample_rate=1.0,
+        max_condition_num=0.0,          # yaml: gate rejects everything -> identity warp
+        use_masked_lengths=False,       # 3dmatch uses padded lengths (procrustes.py:61-62)
+    )
+    transformer = TransformerConfig(
+        feature_dim=feature_dim,
+        n_head=4,
+        layer_types=("self", "cross", "positioning", "self", "cross"),
+        positioning_type="procrustes",
+        pe_type="rotary",
+        vol_origin=(-3.6, -2.4, 1.14),
+        voxel_size=0.08,
+        entangled=False,
+        procrustes=procrustes,
+        feature_matching=matching,
+    )
+    kpfcn = KPFCNConfig(
+        architecture=KPFCN_ARCHITECTURE,
+        first_feats_dim=first_feats_dim,
+        in_feats_dim=1,
+        first_subsampling_dl=0.025,
+        conv_radius=2.5,
+        kp_extent=2.0,
+        coarse_feature_dim=feature_dim,
+        fine_feature_dim=264,
+        coarse_level=-2,
+    )
+    return PipelineConfig(
+        kpfcn=kpfcn,
+        coarse_transformer=transformer,
+        coarse_matching=matching,
+        procrustes=procrustes,
+        sample_steps=sample_steps,
+        variant="3dmatch",
+    )
+
+
+def preset_4dmatch(sample_steps: int = 20, thr: float = 0.55) -> PipelineConfig:
+    """4DMatch/4DLoMatch deformable registration (4dmatch twin deltas,
+    SURVEY.md §2.1): gaussian+sigmoid noising, stochastic DDIM, masked-length
+    procrustes, sigmoid prediction head with thr-based extraction."""
+    base = preset_3dmatch(sample_steps=sample_steps)
+    procrustes = dataclasses.replace(base.procrustes, use_masked_lengths=True)
+    transformer = dataclasses.replace(base.coarse_transformer, procrustes=procrustes)
+    return dataclasses.replace(
+        base,
+        coarse_transformer=transformer,
+        procrustes=procrustes,
+        variant="4dmatch",
+    )
+
+
+def preset_tiny(variant: str = "3dmatch", sample_steps: int = 2) -> PipelineConfig:
+    """Small config for tests: same topology, tiny dims."""
+    base = preset_3dmatch(sample_steps=sample_steps) if variant == "3dmatch" \
+        else preset_4dmatch(sample_steps=sample_steps)
+    matching = dataclasses.replace(base.coarse_matching, feature_dim=48)
+    transformer = dataclasses.replace(
+        base.coarse_transformer, feature_dim=48, n_head=2, feature_matching=matching)
+    kpfcn = dataclasses.replace(
+        base.kpfcn, first_feats_dim=16, coarse_feature_dim=48,
+        fine_feature_dim=16, first_subsampling_dl=0.06)
+    return dataclasses.replace(
+        base, kpfcn=kpfcn, coarse_transformer=transformer, coarse_matching=matching)

@@ -1,0 +1,217 @@
+"""Repositioning transformer — self/cross geometry attention with rotary VolPE.
+
+Re-implements the reference RepositioningTransformer + GeometryAttentionLayer
+(Diff-Reg-3dmatch/models/transformero.py:13-284) as Flax modules over padded
+[B, S, C] / [B, T, C] token stacks:
+
+  * 'self' / 'cross' layers are full dense attention (coarse token counts are
+    a few hundred to ~2k, so quadratic attention on the MXU is the right
+    call — SURVEY.md §5 "long-context": no ring/Ulysses needed);
+  * the 'positioning' layer runs an inner Matching + SoftProcrustes and
+    re-derives the rotary position code from the warped source cloud
+    (transformero.py:188-208); 'randSO3' and 'oracle' variants included;
+  * masking matches the reference exactly: rows with a valid query attending
+    an invalid key get -inf before softmax (transformero.py:81-82);
+  * position codes are recomputed from (possibly warped) coordinates each
+    time and are stop-gradiented (position_encoding.py:83-84).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.procrustes import soft_procrustes
+from ..ops.masked import NEG_INF
+from ..ops.position_encoding import embed_pos, embed_rotary, volumetric_pe
+from ..utils.precision import get_precision
+from .matching import Matching, MatchingConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcrustesConfig:
+    sample_rate: float = 1.0
+    max_condition_num: float = 0.0
+    use_masked_lengths: bool = False  # 4DMatch branch uses mask sums (procrustes.py:61-62)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    feature_dim: int = 432
+    n_head: int = 4
+    layer_types: Tuple[str, ...] = ("self", "cross", "positioning", "self", "cross")
+    positioning_type: str = "procrustes"   # procrustes | randSO3 | oracle
+    pe_type: str = "rotary"                # rotary | sinusoidal
+    vol_origin: Tuple[float, float, float] = (-3.6, -2.4, 1.14)
+    voxel_size: float = 0.08
+    entangled: bool = False
+    procrustes: ProcrustesConfig = ProcrustesConfig()
+    feature_matching: Optional[MatchingConfig] = None
+
+
+class GeometryAttentionLayer(nn.Module):
+    """Pre-PE multi-head attention + gated-concat FFN (transformero.py:13-96)."""
+    d_model: int
+    n_head: int
+    pe_type: str
+
+    @nn.compact
+    def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
+        b, n, _ = x.shape
+        h = self.n_head
+        dim = self.d_model // h
+
+        q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj")
+        k_proj = nn.Dense(self.d_model, use_bias=False, name="k_proj")
+        v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj")
+        merge = nn.Dense(self.d_model, use_bias=False, name="merge")
+
+        if self.pe_type == "sinusoidal":
+            q_in = x + x_pe if x_pe is not None else x
+            k_in = source + source_pe if source_pe is not None else source
+            qw, kw = q_proj(q_in), k_proj(k_in)
+        elif self.pe_type == "rotary":
+            qw, kw = q_proj(x), k_proj(source)
+            if x_pe is not None:
+                qw = embed_rotary(qw, x_pe[..., 0], x_pe[..., 1])
+                kw = embed_rotary(kw, source_pe[..., 0], source_pe[..., 1])
+        else:
+            raise KeyError(self.pe_type)
+        vw = v_proj(source)
+
+        qw = qw.reshape(b, -1, h, dim)
+        kw = kw.reshape(b, -1, h, dim)
+        vw = vw.reshape(b, -1, h, dim)
+
+        a = jnp.einsum("blhd,bshd->blsh", qw, kw, precision=get_precision())
+        if source_mask is not None:
+            # reference semantics: mask only (valid q, invalid kv) entries
+            bad = x_mask[:, :, None] & (~source_mask[:, None, :])
+            a = jnp.where(bad[..., None], NEG_INF, a)
+        a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
+        a = jax.nn.softmax(a, axis=2)
+        o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
+
+        message = merge(o.reshape(b, -1, self.d_model))
+        message = nn.LayerNorm(name="norm1")(message)
+        y = jnp.concatenate([x, message], axis=-1)
+        y = nn.Dense(self.d_model * 2, use_bias=False, name="mlp0")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp1")(y)
+        y = nn.LayerNorm(name="norm2")(y)
+        return x + y
+
+
+class RepositioningTransformer(nn.Module):
+    cfg: TransformerConfig
+
+    def setup(self):
+        modules = {}
+        for i, lt in enumerate(self.cfg.layer_types):
+            if lt in ("self", "cross"):
+                modules[str(i)] = GeometryAttentionLayer(
+                    self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
+                    name=f"layer{i}_{lt}")
+            elif lt == "positioning":
+                if self.cfg.positioning_type == "procrustes":
+                    assert self.cfg.feature_matching is not None
+                    modules[str(i)] = Matching(self.cfg.feature_matching, name=f"layer{i}_matching")
+            else:
+                raise KeyError(lt)
+        self.layer_modules = modules
+
+    def _pe(self, xyz):
+        return volumetric_pe(xyz, self.cfg.feature_dim, self.cfg.vol_origin,
+                             self.cfg.voxel_size, self.cfg.pe_type)
+
+    def __call__(self, src_feat, tgt_feat, s_pcd, t_pcd, src_mask, tgt_mask,
+                 rot_gt=None, trn_gt=None, transform=None, rng=None):
+        """Returns (src_feat, tgt_feat, src_pe, tgt_pe, aux) with aux carrying
+        per-positioning-layer conf matrices and poses (for losses/metrics)."""
+        cfg = self.cfg
+        if transform is not None:
+            r, t = transform
+            src_wrapped = s_pcd @ jnp.swapaxes(r, 1, 2) + jnp.swapaxes(t, 1, 2)
+        else:
+            src_wrapped = s_pcd
+        src_pe = self._pe(src_wrapped)
+        tgt_pe = self._pe(t_pcd)
+
+        aux = {"position_layers": []}
+
+        if cfg.entangled:
+            src_feat = embed_pos(cfg.pe_type, src_feat, src_pe)
+            tgt_feat = embed_pos(cfg.pe_type, tgt_feat, tgt_pe)
+            s_pe = t_pe = None
+        else:
+            s_pe, t_pe = src_pe, tgt_pe
+
+        for i, lt in enumerate(cfg.layer_types):
+            layer = self.layer_modules.get(str(i))
+            if lt == "self":
+                src_feat = layer(src_feat, src_feat, s_pe, s_pe, src_mask, src_mask)
+                tgt_feat = layer(tgt_feat, tgt_feat, t_pe, t_pe, tgt_mask, tgt_mask)
+            elif lt == "cross":
+                src_feat = layer(src_feat, tgt_feat, s_pe, t_pe, src_mask, tgt_mask)
+                tgt_feat = layer(tgt_feat, src_feat, t_pe, s_pe, tgt_mask, src_mask)
+            elif lt == "positioning":
+                if cfg.entangled:
+                    continue
+                if cfg.positioning_type == "procrustes":
+                    conf, match_mask = layer(src_feat, tgt_feat, s_pe, t_pe,
+                                             src_mask, tgt_mask, pe_type=cfg.pe_type)
+                    res = soft_procrustes(
+                        conf, s_pcd, t_pcd, src_mask, tgt_mask,
+                        sample_rate=cfg.procrustes.sample_rate,
+                        max_condition_num=cfg.procrustes.max_condition_num,
+                        use_masked_lengths=cfg.procrustes.use_masked_lengths,
+                    )
+                    aux["position_layers"].append({
+                        "conf_matrix": conf, "match_mask": match_mask,
+                        "rotation": res.rotation, "translation": res.translation,
+                        "condition": res.condition, "solution_mask": res.solution_mask,
+                    })
+                    src_wrapped = s_pcd @ jnp.swapaxes(res.rotation_fwd, 1, 2) \
+                        + jnp.swapaxes(res.translation_fwd, 1, 2)
+                elif cfg.positioning_type == "randSO3":
+                    src_wrapped = _rand_rot_pcd(rng, s_pcd, src_mask)
+                elif cfg.positioning_type == "oracle":
+                    src_wrapped = s_pcd @ jnp.swapaxes(rot_gt, 1, 2) + jnp.swapaxes(trn_gt, 1, 2)
+                else:
+                    raise KeyError(cfg.positioning_type)
+                s_pe = src_pe = self._pe(src_wrapped)
+                t_pe = tgt_pe = self._pe(t_pcd)
+            else:
+                raise KeyError(lt)
+
+        return src_feat, tgt_feat, src_pe, tgt_pe, aux
+
+
+def _rand_rot_pcd(rng, pcd, mask):
+    """Random SO(3) rotation about the (masked) centroid (transformero.py:262-279)."""
+    b, n, _ = pcd.shape
+    pcd = pcd * mask[..., None]
+    n_points = mask.sum(axis=1).reshape(-1, 1, 1)
+    euler = jax.random.uniform(rng, (b, 3)) * 2.0 * jnp.pi
+    rot = _euler_zyx_to_matrix(euler)
+    centroid = pcd.mean(axis=1, keepdims=True) * n / jnp.maximum(n_points, 1)
+    centered = pcd - centroid
+    return centered @ jnp.swapaxes(rot, 1, 2) + centroid
+
+
+def _euler_zyx_to_matrix(euler):
+    """Intrinsic z-y-x Euler angles -> rotation matrices [B, 3, 3]."""
+    z, y, x = euler[:, 0], euler[:, 1], euler[:, 2]
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cx, sx = jnp.cos(x), jnp.sin(x)
+    rz = jnp.stack([cz, -sz, jnp.zeros_like(cz), sz, cz, jnp.zeros_like(cz),
+                    jnp.zeros_like(cz), jnp.zeros_like(cz), jnp.ones_like(cz)], -1).reshape(-1, 3, 3)
+    ry = jnp.stack([cy, jnp.zeros_like(cy), sy, jnp.zeros_like(cy), jnp.ones_like(cy),
+                    jnp.zeros_like(cy), -sy, jnp.zeros_like(cy), cy], -1).reshape(-1, 3, 3)
+    rx = jnp.stack([jnp.ones_like(cx), jnp.zeros_like(cx), jnp.zeros_like(cx),
+                    jnp.zeros_like(cx), cx, -sx, jnp.zeros_like(cx), sx, cx], -1).reshape(-1, 3, 3)
+    return rz @ ry @ rx

@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native data-pipeline library.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -std=c++17 -shared -fPIC src/diffreg_native.cpp -o libdiffreg_native.so
+echo "built native/libdiffreg_native.so"

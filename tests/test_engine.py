@@ -1,0 +1,176 @@
+"""Engine tests: losses, config loader, checkpointing, dataset readers."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffreg_tpu.engine import LossConfig, focal_correspondence_loss, match_recall_precision
+
+
+class TestFocalLoss:
+    def test_perfect_prediction_is_low(self):
+        gt = jnp.zeros((1, 8, 8)).at[0, jnp.arange(8), jnp.arange(8)].set(1.0)
+        valid = jnp.ones((1, 8, 8), bool)
+        good = jnp.clip(gt, 0.01, 0.99)
+        bad = jnp.clip(1.0 - gt, 0.01, 0.99)
+        cfg = LossConfig()
+        l_good = float(focal_correspondence_loss(good, gt, valid, cfg))
+        l_bad = float(focal_correspondence_loss(bad, gt, valid, cfg))
+        assert l_good < 0.01 * l_bad
+
+    def test_padding_excluded(self):
+        gt = jnp.zeros((1, 8, 8)).at[0, 0, 0].set(1.0)
+        valid = jnp.zeros((1, 8, 8), bool).at[0, :4, :4].set(True)
+        conf_pad_garbage = jnp.full((1, 8, 8), 0.999).at[0, :4, :4].set(0.01).at[0, 0, 0].set(0.9)
+        cfg = LossConfig()
+        l1 = float(focal_correspondence_loss(conf_pad_garbage, gt, valid, cfg))
+        conf_pad_clean = jnp.full((1, 8, 8), 0.001).at[0, :4, :4].set(0.01).at[0, 0, 0].set(0.9)
+        l2 = float(focal_correspondence_loss(conf_pad_clean, gt, valid, cfg))
+        assert abs(l1 - l2) < 1e-7  # padding region cannot change the loss
+
+    def test_no_positives_corner_case(self):
+        gt = jnp.zeros((1, 6, 6))
+        valid = jnp.ones((1, 6, 6), bool)
+        conf = jnp.full((1, 6, 6), 0.3)
+        out = float(focal_correspondence_loss(conf, gt, valid, LossConfig()))
+        assert np.isfinite(out)
+
+    def test_recall_precision(self):
+        gt = jnp.zeros((1, 4, 4)).at[0, jnp.arange(4), jnp.arange(4)].set(1.0)
+        pred = jnp.zeros((1, 4, 4), bool).at[0, 0, 0].set(True).at[0, 1, 1].set(True).at[0, 2, 3].set(True)
+        r, p = match_recall_precision(gt, pred)
+        assert float(r) == pytest.approx(0.5)
+        assert float(p) == pytest.approx(2 / 3)
+
+
+class TestConfigLoader:
+    def test_load_reference_schema(self):
+        from diffreg_tpu.utils.config import build_pipeline_config, load_yaml
+
+        raw = load_yaml("configs/test/3dmatch.yaml")
+        cfg = build_pipeline_config(raw)
+        assert cfg.sample_steps == 20
+        assert cfg.coarse_matching.feature_dim == 432
+        assert cfg.coarse_transformer.layer_types == (
+            "self", "cross", "positioning", "self", "cross")
+        assert cfg.procrustes.max_condition_num == 0.0
+        assert cfg.variant == "3dmatch"
+
+    def test_4dmatch_deltas(self):
+        from diffreg_tpu.utils.config import build_pipeline_config, load_yaml
+
+        raw = load_yaml("configs/test/4dmatch.yaml")
+        cfg = build_pipeline_config(raw)
+        assert cfg.variant == "4dmatch"
+        assert cfg.stochastic_ddim
+        assert cfg.procrustes.use_masked_lengths
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_best(self, tmp_path):
+        from diffreg_tpu.engine.checkpoint import CheckpointManager
+
+        state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(3)}
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        mgr.save(1, state, {"recall": 0.5, "loss": 1.0})
+        state2 = {"w": state["w"] * 2, "step": jnp.asarray(4)}
+        mgr.save(2, state2, {"recall": 0.4, "loss": 0.5})
+        assert mgr.best_step("recall") == 1
+        assert mgr.best_step("loss") == 2
+        restored = mgr.restore(jax.tree.map(jnp.zeros_like, state))
+        np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(state2["w"]))
+        mgr.close()
+
+
+class TestDatasets:
+    def test_3dmatch_reader(self, tmp_path, rng):
+        from diffreg_tpu.data.datasets import ThreeDMatchPairDataset
+
+        root = tmp_path / "indoor"
+        os.makedirs(root)
+        src = rng.rand(500, 3).astype(np.float32)
+        tgt = rng.rand(400, 3).astype(np.float32)
+        np.save(root / "src0.npy", src)
+        np.save(root / "tgt0.npy", tgt)
+        infos = {
+            "rot": [np.eye(3, dtype=np.float32)],
+            "trans": [np.zeros((3, 1), np.float32)],
+            "src": ["src0.npy"],
+            "tgt": ["tgt0.npy"],
+            "gt_cov": [np.eye(6, dtype=np.float32)],
+        }
+        info_path = tmp_path / "info.pkl"
+        with open(info_path, "wb") as f:
+            pickle.dump(infos, f)
+
+        ds = ThreeDMatchPairDataset(str(info_path), str(root), augment=False)
+        assert len(ds) == 1
+        s = ds[0]
+        np.testing.assert_allclose(s["src_pcd"], src)
+        assert s["gt_cov"].shape == (6, 6)
+
+        # with augmentation the GT transform still maps src onto tgt frame
+        ds_aug = ThreeDMatchPairDataset(str(info_path), str(root), augment=True, seed=1)
+        s2 = ds_aug[0]
+        warped = s2["src_pcd"] @ s2["rot"].T + s2["trn"].reshape(1, 3)
+        # original pair: identity; augmentation preserves correspondence geometry
+        d = np.linalg.norm(warped - s2["tgt_pcd"][: len(warped)], axis=1) if len(warped) <= len(s2["tgt_pcd"]) else None
+        # structural check only: rotation is orthonormal
+        np.testing.assert_allclose(s2["rot"] @ s2["rot"].T, np.eye(3), atol=1e-5)
+
+    def test_4dmatch_reader(self, tmp_path, rng):
+        from diffreg_tpu.data.datasets import FourDMatchPairDataset
+
+        d = tmp_path / "4d"
+        os.makedirs(d)
+        np.savez(d / "pair0.npz",
+                 src_pcd=rng.rand(300, 3).astype(np.float32),
+                 tgt_pcd=rng.rand(280, 3).astype(np.float32),
+                 s2t_flow=rng.rand(300, 3).astype(np.float32) * 0.05,
+                 rot=np.eye(3, dtype=np.float32),
+                 trans=np.zeros((3, 1), np.float32),
+                 metric_index=np.arange(50))
+        ds = FourDMatchPairDataset(str(d))
+        assert len(ds) == 1
+        s = ds[0]
+        assert s["scene_flow"].shape == (300, 3)
+        assert s["metric_index"].shape == (50,)
+
+    def test_iterate_batches(self, tmp_path, rng):
+        from diffreg_tpu.data import PyramidConfig, tiny_spec
+        from diffreg_tpu.data.datasets import iterate_batches
+
+        class FakeDS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                r = np.random.RandomState(i)
+                return {"src_pcd": r.rand(100, 3).astype(np.float32),
+                        "tgt_pcd": r.rand(90, 3).astype(np.float32),
+                        "rot": np.eye(3, dtype=np.float32),
+                        "trn": np.zeros((3, 1), np.float32),
+                        "gt_cov": None, "scene_flow": None, "metric_index": None}
+
+        spec = tiny_spec(128)
+        cfg = PyramidConfig(first_subsampling_dl=0.06, coarse_match_radius=0.15)
+        batches = list(iterate_batches(FakeDS(), spec, cfg, batch_size=2))
+        assert len(batches) == 2  # 2 + 1
+        assert batches[0][0].features.shape[0] == 2
+
+
+class TestCalibration:
+    def test_calibrate_spec(self, rng):
+        from diffreg_tpu.data import PyramidConfig
+        from diffreg_tpu.data.calibrate import calibrate_spec
+
+        pairs = [(rng.rand(400, 3).astype(np.float32), rng.rand(380, 3).astype(np.float32))
+                 for _ in range(2)]
+        cfg = PyramidConfig(first_subsampling_dl=0.06)
+        spec = calibrate_spec(pairs, cfg)
+        assert spec.n_points[0] >= 780
+        assert all(k >= 1 for k in spec.k_neighbors)
+        assert spec.n_src > 0 and spec.n_tgt > 0

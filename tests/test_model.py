@@ -1,0 +1,205 @@
+"""End-to-end model tests: forward branches, training step, eval metrics, RANSAC."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffreg_tpu.data import synthetic_batch
+from diffreg_tpu.engine import LossConfig, OptimConfig, create_train_state, make_train_step
+from diffreg_tpu.eval import inlier_ratio, ransac_pose, registration_recall_success, matrix_to_quaternion
+from diffreg_tpu.geometry import rotation_error_deg
+from diffreg_tpu.models import DiffusionMatchingModel
+from diffreg_tpu.models.presets import preset_tiny
+from diffreg_tpu import ops
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    batch, spec, pcfg = synthetic_batch(batch_size=1, n_points=96, seed=0)
+    cfg = preset_tiny("3dmatch", sample_steps=2)
+    model = DiffusionMatchingModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)
+    return batch, model, variables
+
+
+class TestModelForward:
+    def test_train_branch_finite(self, tiny_setup):
+        batch, model, variables = tiny_setup
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="train"))(
+            variables, batch, jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_pred"])))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_gt_hat"])))
+        assert out["conf_matrix_pred"].shape == out["matrix_gt"].shape
+        # conf outside the valid region must be ~0
+        valid = batch.src_mask[:, :, None] & batch.tgt_mask[:, None, :]
+        assert float(jnp.where(valid, 0.0, out["conf_matrix_pred"]).max()) < 1e-5
+
+    def test_ddim_branch(self, tiny_setup):
+        batch, model, variables = tiny_setup
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))(
+            variables, batch, jax.random.PRNGKey(2))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_pred"])))
+        # proper rotation output
+        r = np.asarray(out["rotation_pred"][0])
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+        assert np.linalg.det(r) > 0.9
+        assert int(out["corr_mask"].sum()) > 0
+
+    def test_backbone_branch(self, tiny_setup):
+        batch, model, variables = tiny_setup
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="backbone"))(
+            variables, batch, jax.random.PRNGKey(3))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_pred"])))
+
+    def test_4dmatch_variant(self):
+        batch, spec, pcfg = synthetic_batch(batch_size=1, n_points=96, seed=1, deformable=True)
+        cfg = preset_tiny("4dmatch", sample_steps=2)
+        model = DiffusionMatchingModel(cfg)
+        rng = jax.random.PRNGKey(0)
+        variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))(
+            variables, batch, jax.random.PRNGKey(1))
+        conf = np.asarray(out["conf_matrix_pred"])
+        assert np.isfinite(conf).all()
+        assert conf.min() >= 0.0 and conf.max() <= 1.0  # sigmoid head
+
+
+class TestTraining:
+    def test_loss_decreases(self, tiny_setup):
+        batch, model, variables = tiny_setup
+        loss_cfg = LossConfig()
+        optim_cfg = OptimConfig(optimizer="adam", lr=3e-4, steps_per_epoch=100000)
+        state = create_train_state(model, batch, jax.random.PRNGKey(0), optim_cfg)
+        step = jax.jit(make_train_step(model, loss_cfg, optim_cfg))
+        losses = []
+        for i in range(8):
+            state, info = step(state, batch, jax.random.PRNGKey(100))  # fixed rng: same t
+            losses.append(float(info["loss"]))
+            assert bool(info["grads_finite"])
+        assert losses[-1] < losses[0], losses
+
+    def test_gradients_nonzero_for_all_trainable(self, tiny_setup):
+        batch, model, variables = tiny_setup
+        loss_cfg = LossConfig()
+
+        def loss_fn(params):
+            out = model.apply({"params": params, "buffers": variables.get("buffers", {})},
+                              batch, jax.random.PRNGKey(5), mode="train")
+            from diffreg_tpu.engine import diffreg_loss
+            return diffreg_loss(out, batch, loss_cfg)[0]
+
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        zero_paths = [jax.tree_util.keystr(p) for p, g in flat if float(jnp.abs(g).max()) == 0.0]
+        # Legitimately grad-free (reference parity):
+        #  - fine-phase decoder tail + coarse_in/fine_out heads (coarse path only)
+        #  - tgt_proj (reference never uses it, matching.py:173-174)
+        #  - the positioning layer's inner matcher: with max_condition_num=0
+        #    its warp is gated to identity and the per-layer focal loss is
+        #    commented out in the reference (loss.py:135-145)
+        allowed = ("dec2", "dec3", "dec4", "dec5", "fine_out", "coarse_in",
+                   "tgt_proj", "_matching")
+        unexpected = [p for p in zero_paths if not any(a in p for a in allowed)]
+        assert not unexpected, unexpected
+
+
+class TestEval:
+    def test_quaternion_roundtrip(self, rng):
+        from diffreg_tpu.geometry.procrustes import quaternion_to_matrix
+        q = rng.randn(16, 4).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = np.where(q[:, :1] < 0, -q, q)  # canonical hemisphere
+        r = quaternion_to_matrix(jnp.asarray(q))
+        q2 = np.asarray(matrix_to_quaternion(r))
+        q2 = np.where(q2[:, :1] < 0, -q2, q2)
+        np.testing.assert_allclose(q2, q, atol=1e-4)
+
+    def test_inlier_ratio_perfect_and_broken(self, rng):
+        r_gt = np.eye(3, dtype=np.float32)
+        t_gt = np.zeros(3, np.float32)
+        src = rng.rand(32, 3).astype(np.float32)
+        valid = np.ones(32, bool)
+        ir = inlier_ratio(jnp.asarray(src), jnp.asarray(src), jnp.asarray(valid),
+                          jnp.asarray(r_gt), jnp.asarray(t_gt))
+        assert float(ir) == 1.0
+        tgt_bad = src + 1.0
+        ir2 = inlier_ratio(jnp.asarray(src), jnp.asarray(tgt_bad), jnp.asarray(valid),
+                           jnp.asarray(r_gt), jnp.asarray(t_gt))
+        assert float(ir2) == 0.0
+
+    def test_registration_recall_covariance(self):
+        rot = jnp.eye(3)[None]
+        trn = jnp.zeros((1, 3, 1))
+        cov = jnp.eye(6)[None] * 100.0
+        ok = registration_recall_success(rot, trn, rot, trn, cov, thr=0.2)
+        assert bool(ok[0])
+        bad_trn = jnp.ones((1, 3, 1))
+        ok2 = registration_recall_success(rot, bad_trn, rot, trn, cov, thr=0.2)
+        assert not bool(ok2[0])
+
+    def test_ransac_with_outliers(self, rng):
+        from tests.test_ops_core import random_rigid
+        r_gt, t_gt = random_rigid(rng)
+        n = 256
+        src = rng.rand(n, 3).astype(np.float32) * 2
+        tgt = ((r_gt @ src.T) + t_gt).T.astype(np.float32)
+        # 40% outliers
+        n_out = int(0.4 * n)
+        tgt[:n_out] = rng.rand(n_out, 3) * 2
+        valid = np.ones(n, bool)
+        # shuffle so outliers are not a prefix (sampler favors low indices? no — uniform)
+        perm = rng.permutation(n)
+        res = ransac_pose(jax.random.PRNGKey(0), jnp.asarray(src[perm]), jnp.asarray(tgt[perm]),
+                          jnp.asarray(valid), distance_threshold=0.05, num_hypotheses=2048)
+        err = float(rotation_error_deg(res.rotation[None], jnp.asarray(r_gt[None]))[0])
+        assert err < 0.5, err
+        assert int(res.inlier_count) >= n - n_out - 5
+
+    def test_nfmr_sanity(self, rng):
+        from diffreg_tpu.eval import nfmr
+        m = 64
+        pts = rng.rand(m, 3).astype(np.float32)
+        flow = np.zeros((m, 3), np.float32)
+        rot = np.eye(3, dtype=np.float32)
+        trn = np.zeros(3, np.float32)
+        # anchors = subset of points with exact zero motion
+        anchors = pts[:32]
+        val = nfmr(jnp.asarray(pts), jnp.asarray(flow), jnp.asarray(rot), jnp.asarray(trn),
+                   jnp.asarray(anchors), jnp.asarray(anchors), jnp.ones(32, bool),
+                   jnp.ones(m, bool))
+        assert float(val) > 0.9
+
+
+class TestDiffusion:
+    def test_schedule_matches_torch_reference_formula(self):
+        import math
+        import torch
+
+        from diffreg_tpu.diffusion import cosine_beta_schedule
+        T = 1000
+        steps = T + 1
+        x = torch.linspace(0, T, steps, dtype=torch.float64)
+        acp = torch.cos(((x / T) + 0.008) / (1 + 0.008) * math.pi * 0.5) ** 2
+        acp = acp / acp[0]
+        betas_ref = torch.clip(1 - (acp[1:] / acp[:-1]), 0, 0.999).numpy()
+        np.testing.assert_allclose(cosine_beta_schedule(T), betas_ref, atol=1e-12)
+
+    def test_ddim_time_pairs(self):
+        from diffreg_tpu.diffusion import ddim_time_pairs
+        pairs = ddim_time_pairs(1000, 20)
+        assert pairs.shape == (20, 2)
+        assert pairs[0, 0] == 999 and pairs[-1, 1] == 0
+        assert (pairs[:, 0] > pairs[:, 1]).all()
+
+    def test_q_sample_endpoints(self, rng):
+        from diffreg_tpu.diffusion import make_schedule, q_sample
+        sched = make_schedule(1000)
+        x0 = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+        noise = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+        t0 = q_sample(sched, x0, jnp.zeros(2, jnp.int32), noise)
+        # at t=0 nearly all signal
+        assert float(jnp.abs(t0 - x0).max()) < 0.1
+        t999 = q_sample(sched, x0, jnp.full((2,), 999, jnp.int32), noise)
+        # at t=T-1 nearly all noise
+        assert float(jnp.abs(t999 - noise).max()) < 0.35
