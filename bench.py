@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_points = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 
     from diffreg_tpu.data import ShapeSpec, synthetic_batch
@@ -33,15 +33,15 @@ def main():
     from diffreg_tpu.models.presets import preset_3dmatch
     from diffreg_tpu.ops.select import extract_correspondences
 
-    # 3DMatch-scale bucket: ~4k raw points/side, ~512 coarse tokens/side.
+    # 3DMatch-scale bucket: ~4k raw points/side; K and level sizes from the
+    # calibration pass (the reference's calibrate_neighbors equivalent).
+    from diffreg_tpu.data import make_pair
+    from diffreg_tpu.data.calibrate import calibrate_spec
+
     pcfg = PyramidConfig(first_subsampling_dl=0.03, coarse_match_radius=0.1)
-    spec = ShapeSpec(
-        n_points=(2 * n_points, n_points, n_points // 4, n_points // 16),
-        k_neighbors=(34, 34, 34, 34),
-        k_pools=(34, 34, 34),
-        k_upsamples=(4, 4, 4),
-        n_src=512, n_tgt=512, n_gt_matches=256,
-    )
+    cal_rng = np.random.RandomState(0)
+    cal_pairs = [make_pair(cal_rng, n_points)[:2] for _ in range(2)]
+    spec = calibrate_spec(cal_pairs, pcfg, k_cap=40)
     batch, _, _ = synthetic_batch(
         batch_size=batch_size, n_points=n_points, seed=0, spec=spec, cfg=pcfg)
 
@@ -82,12 +82,19 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch_size * iters / dt
+    # Baseline: >= 50 pairs/s on v5e-8 (BASELINE.md) == 6.25 pairs/s/chip;
+    # the data axis scales linearly (pairs are independent), so single-chip
+    # throughput is compared against the per-chip share.
+    n_chips = jax.device_count()
+    per_chip_target = 50.0 / 8.0
     print(json.dumps({
         "metric": "registered_pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / 50.0, 4),
+        "vs_baseline": round(pairs_per_sec / (per_chip_target * n_chips), 4),
         "detail": {
+            "baseline_basis": "50 pairs/s on v5e-8 == 6.25 pairs/s/chip",
+            "n_chips": n_chips,
             "sample_steps": steps,
             "batch_size": batch_size,
             "n_points_per_side": n_points,
