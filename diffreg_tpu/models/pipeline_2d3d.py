@@ -1,0 +1,306 @@
+"""2D-3D registration pipeline (RGB-D Scenes V2 / 7Scenes), TPU-native.
+
+Re-architecture of the reference MATR2D3D (Diff-Reg-2d3d/experiments/
+2d3dmatr.rgbdv2.stage4.level3.stage1/model.py:160-948):
+
+  image --> ImageBackbone UNet (optionally DINOv2-injected)  --\
+  depth --> back_project -> real 3D image points               +-> cross-modal
+  pcd   --> PointBackbone KPConv pyramid                     --/    fusion
+  coarse matcher (Sinkhorn, learned dustbin) over pcd nodes x image patches;
+  diffusion branch: noise the GT matrix, Sinkhorn-project, 3D-3D Procrustes
+  warp of the pcd nodes onto (monocular-depth-lifted) image patch centers,
+  denoise with a second fusion transformer (model.py:599-694); DDIM at eval.
+
+Differences by design:
+  * batched + static shapes (image patch count fixed by H/8 grid; pcd nodes
+    padded); the eval DDIM loop is one nn.scan like the 3D pipeline;
+  * frozen towers (DINOv2 ViT-L / DepthAnything) are optional inputs: the
+    batch carries precomputed `dino_feats` / `mono_depth_points` when a
+    tower is enabled, so the pipeline itself stays tower-agnostic. The
+    towers live in diffreg_tpu/nn/dinov2.py & depth_anything.py with weight
+    converters; without their released weights the config falls back to
+    real-depth patch centers (reference uses DepthAnything centers).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion.schedule import (
+    DiffusionSchedule,
+    ddim_time_pairs,
+    make_schedule,
+    predict_noise_from_start,
+    q_sample,
+)
+from ..geometry.procrustes import soft_procrustes
+from ..nn.fusion import CrossModalFusionModule
+from ..nn.image_backbone import ImageBackbone
+from ..nn.matching import Matching, MatchingConfig
+from ..nn.point_backbone import PointBackbone, PointBackboneConfig
+from ..ops.partition import batch_mutual_topk_select, point_to_node_partition
+from ..ops.select import mutual_topk_mask
+from ..ops.vision import create_meshgrid
+
+
+class Batch2D3D(NamedTuple):
+    """One batch of image<->cloud pairs, padded/static."""
+
+    image: jnp.ndarray           # [B, H, W, 1] grayscale
+    img_points: jnp.ndarray      # [B, H*W, 3] back-projected real depth (cam frame)
+    img_valid: jnp.ndarray       # [B, H*W] bool (depth valid)
+    # point-cloud pyramid (3 levels for the 2d3d point backbone)
+    points: Tuple[jnp.ndarray, ...]
+    masks: Tuple[jnp.ndarray, ...]
+    neighbors: Tuple[jnp.ndarray, ...]
+    pools: Tuple[jnp.ndarray, ...]
+    upsamples: Tuple[jnp.ndarray, ...]
+    pcd_feats: jnp.ndarray       # [B, N0, 1]
+    # nodes = coarse level points
+    transform: jnp.ndarray       # [B, 4, 4] cam-from-cloud GT
+    intrinsics: jnp.ndarray      # [B, 3, 3]
+    # optional tower outputs
+    dino_feats: Optional[jnp.ndarray] = None        # [B, h14, w14, C]
+    mono_depth_points: Optional[jnp.ndarray] = None  # [B, H*W, 3] DA-lifted
+    gt_src: Optional[jnp.ndarray] = None  # [B, G] coarse GT (node idx)
+    gt_tgt: Optional[jnp.ndarray] = None  # [B, G] (patch idx)
+    gt_valid: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Pipeline2D3DConfig:
+    img_out_dim: int = 128
+    img_base_dim: int = 128
+    pcd_backbone: PointBackboneConfig = PointBackboneConfig(output_dim=128)
+    hidden_dim: int = 256
+    output_dim: int = 256
+    num_heads: int = 4
+    fusion_blocks: Tuple[str, ...] = ("self", "cross") * 3
+    matching: MatchingConfig = MatchingConfig(feature_dim=256, confidence_threshold=0.2)
+    coarse_stride: int = 8          # image patch grid = 1/8 resolution
+    pcd_num_points_in_patch: int = 32
+    pcd_min_node_size: int = 5
+    timesteps: int = 1000
+    sample_steps: int = 10          # SAMPLE_STEP (=50 rgbdv2, =10 7scenes)
+    ddim_eta: float = 1.0
+    procrustes_sample_rate: float = 1.0
+    procrustes_max_condition: float = 0.0
+    use_dino: bool = False
+    use_mono_depth: bool = False
+    fine_topk: int = 2
+    fine_threshold: float = 0.75
+
+
+class DiffReg2D3D(nn.Module):
+    cfg: Pipeline2D3DConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.img_backbone = ImageBackbone(cfg.img_out_dim, cfg.img_base_dim)
+        self.pcd_backbone = PointBackbone(cfg.pcd_backbone)
+        self.fusion = CrossModalFusionModule(
+            cfg.output_dim, cfg.hidden_dim, cfg.num_heads, cfg.fusion_blocks,
+            use_dino=cfg.use_dino)
+        self.denoising_fusion = CrossModalFusionModule(
+            cfg.output_dim, cfg.hidden_dim, cfg.num_heads, cfg.fusion_blocks,
+            use_dino=cfg.use_dino)
+        self.coarse_matching = Matching(cfg.matching)
+        self.denoising_matching = Matching(cfg.matching)
+        self.schedule: DiffusionSchedule = make_schedule(cfg.timesteps)
+
+    # ------------------------------------------------------------------ #
+
+    def _encode(self, batch: Batch2D3D):
+        cfg = self.cfg
+        b, h, w, _ = batch.image.shape
+        hc, wc = h // cfg.coarse_stride, w // cfg.coarse_stride
+
+        dino = batch.dino_feats if cfg.use_dino else None
+        img_feats_list = self.img_backbone(batch.image, dino)
+        img_fine = img_feats_list[0]                      # [B, H, W, C]
+        img_coarse_map = img_feats_list[-1]               # [B, H/8, W/8, 4C]
+
+        img_feats_c = jax.image.resize(
+            img_coarse_map, (b, hc, wc, img_coarse_map.shape[-1]), "bilinear")
+        img_feats_c = img_feats_c.reshape(b, hc * wc, -1)
+
+        pix_norm = create_meshgrid(hc, wc, normalized=True, flatten=True)
+        img_pixels_c = jnp.broadcast_to(pix_norm[None], (b, hc * wc, 2))
+
+        pyr = {
+            "points": batch.points, "masks": batch.masks,
+            "neighbors": batch.neighbors, "pools": batch.pools,
+            "upsamples": batch.upsamples, "features": batch.pcd_feats,
+        }
+        pcd_feats_list = self.pcd_backbone(pyr)
+        pcd_feats_f, pcd_feats_c = pcd_feats_list[0], pcd_feats_list[-1]
+
+        dino_tokens = None
+        if cfg.use_dino:
+            dino_tokens = jax.image.resize(
+                dino, (b, hc, wc, dino.shape[-1]), "bilinear").reshape(b, hc * wc, -1)
+
+        return {
+            "img_feats_f": img_fine,
+            "img_feats_c": img_feats_c,
+            "img_pixels_c": img_pixels_c,
+            "dino_tokens": dino_tokens,
+            "pcd_feats_f": pcd_feats_f,
+            "pcd_feats_c": pcd_feats_c,
+            "hc": hc, "wc": wc,
+        }
+
+    def _patch_centers(self, batch: Batch2D3D, hc, wc):
+        """3D centers of each image patch: mean of valid (real or monocular)
+        back-projected points in the patch (model.py patch center logic)."""
+        cfg = self.cfg
+        b, h, w, _ = batch.image.shape
+        s = cfg.coarse_stride
+
+        def centers_of(points_flat, valid_flat):
+            pts = points_flat.reshape(b, h // s, s, w // s, s, 3)
+            # note: reshape trick needs H,W divisible by stride (enforced by
+            # the data pipeline crop, like the reference's 476x630 crop)
+            pts = pts.transpose(0, 1, 3, 2, 4, 5).reshape(b, hc * wc, s * s, 3)
+            val = valid_flat.reshape(b, h // s, s, w // s, s)
+            val = val.transpose(0, 1, 3, 2, 4).reshape(b, hc * wc, s * s)
+            cnt = jnp.maximum(val.sum(-1, keepdims=True), 1)
+            c = jnp.sum(pts * val[..., None], axis=2) / cnt
+            return c, val.any(axis=-1)
+
+        real_centers, real_valid = centers_of(batch.img_points, batch.img_valid)
+        if cfg.use_mono_depth and batch.mono_depth_points is not None:
+            da_centers, da_valid = centers_of(batch.mono_depth_points, batch.img_valid)
+        else:
+            da_centers, da_valid = real_centers, real_valid
+        return real_centers, real_valid, da_centers, da_valid
+
+    def _warp_nodes(self, x, nodes, centers_da, node_masks, center_masks):
+        """Sinkhorn-project noisy matrix, 3D-3D Procrustes pcd-nodes ->
+        DA patch centers, warp nodes (get_warped_from_noising_matching3D3D,
+        model.py:830-846)."""
+        conf = self.denoising_matching.sinkhorn(x, node_masks, center_masks)
+        res = soft_procrustes(
+            conf, nodes, centers_da, node_masks, center_masks,
+            sample_rate=self.cfg.procrustes_sample_rate,
+            max_condition_num=self.cfg.procrustes_max_condition,
+        )
+        warped = nodes @ jnp.swapaxes(res.rotation_fwd, 1, 2) \
+            + jnp.swapaxes(res.translation_fwd, 1, 2)
+        return warped
+
+    def _denoise(self, enc, batch, nodes_warped, node_masks, img_valid_c):
+        img_t, pcd_t = self.denoising_fusion(
+            enc["img_feats_c"], enc["img_pixels_c"],
+            enc["pcd_feats_c"], nodes_warped,
+            img_feats_dino=enc["dino_tokens"],
+            img_valid=img_valid_c, pcd_valid=node_masks)
+        conf, _ = self.denoising_matching(
+            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal")
+        return conf
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, batch: Batch2D3D, rng, mode: str = "ddim"):
+        cfg = self.cfg
+        enc = self._encode(batch)
+        hc, wc = enc["hc"], enc["wc"]
+        b = batch.image.shape[0]
+
+        nodes = batch.points[-1]            # [B, Nc, 3] coarse pcd nodes
+        node_masks_lvl = batch.masks[-1]
+
+        # 3D patches: only nodes with enough members count (model.py:403-416)
+        def part_one(pts_f, nodes_i, pv, nv):
+            return point_to_node_partition(pts_f, nodes_i, pv, nv,
+                                           cfg.pcd_num_points_in_patch)
+
+        part = jax.vmap(part_one)(batch.points[0], nodes, batch.masks[0], node_masks_lvl)
+        node_masks = part.node_masks & (part.node_sizes > cfg.pcd_min_node_size)
+
+        real_centers, center_valid, da_centers, da_valid = self._patch_centers(
+            batch, hc, wc)
+        img_valid_c = center_valid
+
+        # fused features + coarse matcher (single-pass / "backbone" result)
+        img_t, pcd_t = self.fusion(
+            enc["img_feats_c"], enc["img_pixels_c"], enc["pcd_feats_c"], nodes,
+            img_feats_dino=enc["dino_tokens"],
+            img_valid=img_valid_c, pcd_valid=node_masks)
+        conf_pred, _ = self.coarse_matching(
+            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal")
+
+        out = {
+            "conf_matrix_pred": conf_pred,
+            "node_masks": node_masks,
+            "img_valid_c": img_valid_c,
+            "nodes": nodes,
+            "patch_centers": real_centers,
+            "patch_centers_da": da_centers,
+            "pcd_feats_c": pcd_t,
+            "img_feats_c": img_t,
+            "partition": part,
+        }
+
+        if mode == "train":
+            matrix_gt = _matrix_from_indices(
+                batch.gt_src, batch.gt_tgt, batch.gt_valid,
+                node_masks.shape[1], img_valid_c.shape[1])
+            rng_t, rng_n = jax.random.split(rng)
+            ts = jax.random.randint(rng_t, (b,), 0, cfg.timesteps)
+            noise = jax.random.normal(rng_n, matrix_gt.shape)
+            disturbed = q_sample(self.schedule, matrix_gt, ts, noise)
+            nodes_warped = self._warp_nodes(disturbed, nodes, da_centers,
+                                            node_masks, da_valid)
+            conf_gt_hat = self._denoise(enc, batch, nodes_warped, node_masks, img_valid_c)
+            out.update({"conf_matrix_gt_hat": conf_gt_hat, "matrix_gt": matrix_gt,
+                        "timesteps": ts})
+            return out
+
+        if mode == "backbone":
+            corr = batch_mutual_topk_select(conf_pred, 1, node_masks, img_valid_c,
+                                            mutual=False)
+            out["corr_mask"] = corr
+            return out
+
+        # DDIM sampling (model.py:637-694) — deterministic, no min-shift
+        steps = cfg.sample_steps
+        pairs = jnp.asarray(ddim_time_pairs(cfg.timesteps, steps))
+        x0 = jax.random.normal(rng, (b, node_masks.shape[1], img_valid_c.shape[1]))
+
+        def body(mdl, x, scan_in):
+            time, time_next = scan_in
+            nodes_warped = mdl._warp_nodes(x, nodes, da_centers, node_masks, da_valid)
+            x_start = mdl._denoise(enc, batch, nodes_warped, node_masks, img_valid_c)
+            tvec = jnp.full((b,), time, jnp.int32)
+            eps = predict_noise_from_start(mdl.schedule, x, tvec, x_start)
+            alpha = mdl.schedule.alphas_cumprod[time]
+            alpha_next = mdl.schedule.alphas_cumprod[time_next]
+            sigma = cfg.ddim_eta * jnp.sqrt(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+            c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma**2, 0.0, None))
+            return x_start * jnp.sqrt(alpha_next) + c * eps, None
+
+        scan = nn.scan(body, variable_broadcast=["params", "buffers"],
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        x, _ = scan(self, x0, (pairs[:, 0], pairs[:, 1]))
+
+        conf = self.denoising_matching.sinkhorn(x, node_masks, img_valid_c)
+        corr = jax.vmap(lambda m: mutual_topk_mask(m, 1, mutual=False))(conf)
+        corr = corr & node_masks[:, :, None] & img_valid_c[:, None, :]
+        out["conf_matrix_pred"] = conf
+        out["corr_mask"] = corr
+        return out
+
+
+def _matrix_from_indices(gt_src, gt_tgt, gt_valid, n, m):
+    def one(src, tgt, valid):
+        mat = jnp.zeros((n, m), jnp.float32)
+        return mat.at[jnp.where(valid, src, n), jnp.where(valid, tgt, m)].set(
+            1.0, mode="drop")
+
+    return jax.vmap(one)(gt_src, gt_tgt, gt_valid)

@@ -48,7 +48,7 @@ class ImageBackbone(nn.Module):
         c = self.base_channels
         s1 = ConvBlock(c, 7, 2)(image)                      # 1/2
         s2 = BasicBlock(c)(BasicBlock(c)(s1))               # 1/2
-        s3 = BasicBlock(c * 2)(s2)                          # 1/4
+        s3 = BasicBlock(c * 2, stride=2)(s2)                # 1/4
         s3 = BasicBlock(c * 2)(s3)
         s4 = BasicBlock(c * 4, stride=2)(s3)                # 1/8
         s4 = BasicBlock(c * 4)(s4)

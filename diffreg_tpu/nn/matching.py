@@ -53,7 +53,8 @@ class Matching(nn.Module):
         src = self.src_proj(src_feats)
         tgt = self.tgt_proj(tgt_feats) if cfg.apply_tgt_proj else self.src_proj(tgt_feats)
 
-        if not cfg.entangled:
+        if not cfg.entangled and src_pe is not None:
+            # the 2D-3D matcher passes no PE (fused features carry position)
             src = embed_pos(pe_type, src, src_pe)
             tgt = embed_pos(pe_type, tgt, tgt_pe)
 

@@ -46,6 +46,10 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
         scores = mask_matrix(scores, src_mask, tgt_mask)
         ms = src_mask.sum(axis=1, keepdims=True).astype(dtype)  # [B, 1]
         ns = tgt_mask.sum(axis=1, keepdims=True).astype(dtype)
+        # guard the degenerate fully-masked side: log(0) would cascade infs
+        # through the marginals; outputs on such pairs are masked downstream
+        ms = jnp.maximum(ms, 1.0)
+        ns = jnp.maximum(ns, 1.0)
 
     alpha = jnp.asarray(alpha, dtype)
     bins0 = jnp.broadcast_to(alpha, (b, n, 1))

@@ -1,0 +1,108 @@
+"""2D-3D pipeline tests: batch generator, forward branches, components."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffreg_tpu.data.synthetic2d3d import synthetic_2d3d_batch
+from diffreg_tpu.models.pipeline_2d3d import DiffReg2D3D, Pipeline2D3DConfig
+from diffreg_tpu.nn.matching import MatchingConfig
+from diffreg_tpu.nn.point_backbone import PointBackboneConfig
+
+
+@pytest.fixture(scope="module")
+def setup_2d3d():
+    batch = synthetic_2d3d_batch(batch_size=1, img_hw=(32, 48), n_points=160, seed=0)
+    cfg = Pipeline2D3DConfig(
+        img_out_dim=32, img_base_dim=16,
+        pcd_backbone=PointBackboneConfig(output_dim=32, init_dim=16,
+                                         init_radius=0.1, init_sigma=0.08),
+        hidden_dim=64, output_dim=64, num_heads=2,
+        matching=MatchingConfig(feature_dim=64), sample_steps=2)
+    model = DiffReg2D3D(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)
+    return batch, model, variables
+
+
+class TestPipeline2D3D:
+    def test_train_branch(self, setup_2d3d):
+        batch, model, variables = setup_2d3d
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="train"))(
+            variables, batch, jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_gt_hat"])))
+        assert float(out["matrix_gt"].sum()) > 0
+        # conf outside valid regions ~ 0
+        valid = out["node_masks"][:, :, None] & out["img_valid_c"][:, None, :]
+        assert float(jnp.where(valid, 0.0, out["conf_matrix_pred"]).max()) < 1e-5
+
+    def test_ddim_branch(self, setup_2d3d):
+        batch, model, variables = setup_2d3d
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))(
+            variables, batch, jax.random.PRNGKey(2))
+        assert bool(jnp.all(jnp.isfinite(out["conf_matrix_pred"])))
+        assert int(out["corr_mask"].sum()) > 0
+
+    def test_backbone_branch(self, setup_2d3d):
+        batch, model, variables = setup_2d3d
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="backbone"))(
+            variables, batch, jax.random.PRNGKey(3))
+        assert int(out["corr_mask"].sum()) > 0
+
+    def test_patch_centers_match_camera_geometry(self, setup_2d3d):
+        """Patch centers must be means of valid back-projected points."""
+        batch, model, variables = setup_2d3d
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="backbone"))(
+            variables, batch, jax.random.PRNGKey(4))
+        centers = np.asarray(out["patch_centers"][0])
+        h, w = 32, 48
+        s = 8
+        pts = np.asarray(batch.img_points[0]).reshape(h, w, 3)
+        ref = pts.reshape(h // s, s, w // s, s, 3).transpose(0, 2, 1, 3, 4)
+        ref = ref.reshape(-1, s * s, 3).mean(axis=1)
+        np.testing.assert_allclose(centers, ref, atol=1e-4)
+
+
+class TestImageBackbone:
+    def test_output_pyramid(self, rng):
+        from diffreg_tpu.nn.image_backbone import ImageBackbone
+
+        model = ImageBackbone(out_channels=16, base_channels=8)
+        x = jnp.asarray(rng.rand(1, 32, 48, 1).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+        feats = model.apply(vars_, x)
+        assert feats[0].shape == (1, 32, 48, 16)    # fine 1/1
+        assert feats[1].shape == (1, 16, 24, 8)     # 1/2
+        assert feats[2].shape == (1, 8, 12, 16)     # 1/4
+        assert feats[3].shape == (1, 4, 6, 32)      # 1/8
+
+    def test_dino_injection_changes_output(self, rng):
+        from diffreg_tpu.nn.image_backbone import ImageBackbone
+
+        model = ImageBackbone(out_channels=16, base_channels=8)
+        x = jnp.asarray(rng.rand(1, 32, 48, 1).astype(np.float32))
+        dino = jnp.asarray(rng.rand(1, 3, 4, 32).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, dino)
+        with_dino = model.apply(vars_, x, dino)
+        without = model.apply(vars_, x, jnp.zeros_like(dino))
+        assert float(jnp.abs(with_dino[3] - without[3]).max()) > 1e-4
+
+
+class TestFourier:
+    def test_embedding_shape_and_layout(self):
+        from diffreg_tpu.nn.layers2d3d import fourier_embedding
+
+        x = jnp.asarray(np.array([[0.5, -0.25]], np.float32))
+        emb = fourier_embedding(x, length=10, use_pi=False, use_input=True)
+        assert emb.shape == (1, 10 * 4 + 2)  # matches img_emb_proj input dim
+        np.testing.assert_allclose(np.asarray(emb[0, :2]), [0.5, -0.25])
+        # first frequency block: sin(2^0 * x) per dim
+        np.testing.assert_allclose(np.asarray(emb[0, 2:4]),
+                                   np.sin([0.5, -0.25]), atol=1e-6)
+
+    def test_3d_dims(self):
+        from diffreg_tpu.nn.layers2d3d import fourier_embedding
+
+        x = jnp.zeros((2, 7, 3))
+        emb = fourier_embedding(x, length=10)
+        assert emb.shape == (2, 7, 10 * 6 + 3)  # matches pcd_emb_proj input dim

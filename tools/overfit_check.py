@@ -1,0 +1,92 @@
+"""Overfit sanity run: can the full diffusion pipeline learn to register?
+
+Trains a small-but-real model on a fixed set of synthetic pairs and reports
+IR / rotation error of the DDIM-sampled matches before vs after training.
+This is the framework's strongest end-to-end correctness evidence absent
+the released reference weights (zero-egress environment).
+
+Run: python tools/overfit_check.py [steps] [n_pairs]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import dataclasses
+
+    from diffreg_tpu.data import synthetic_batch
+    from diffreg_tpu.engine import LossConfig, OptimConfig, create_train_state, make_train_step
+    from diffreg_tpu.eval import inlier_ratio
+    from diffreg_tpu.geometry import rotation_error_deg
+    from diffreg_tpu.models import DiffusionMatchingModel
+    from diffreg_tpu.models.presets import preset_3dmatch
+    from diffreg_tpu.ops.select import extract_correspondences
+
+    batch, spec, _ = synthetic_batch(batch_size=n_pairs, n_points=512, seed=7)
+
+    base = preset_3dmatch(sample_steps=10)
+    matching = dataclasses.replace(base.coarse_matching, feature_dim=96)
+    transformer = dataclasses.replace(
+        base.coarse_transformer, feature_dim=96, n_head=4, feature_matching=matching)
+    kpfcn = dataclasses.replace(base.kpfcn, first_feats_dim=64, coarse_feature_dim=96,
+                                fine_feature_dim=32, first_subsampling_dl=0.06)
+    cfg = dataclasses.replace(base, kpfcn=kpfcn, coarse_transformer=transformer,
+                              coarse_matching=matching)
+    model = DiffusionMatchingModel(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    ocfg = OptimConfig(optimizer="adam", lr=1e-3, steps_per_epoch=10**9)
+    state = create_train_state(model, batch, rng, ocfg)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"model params: {n_params/1e6:.2f}M; pairs: {n_pairs}; steps: {n_steps}")
+
+    step = jax.jit(make_train_step(model, LossConfig(), ocfg))
+    ddim = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))
+
+    def evaluate(variables, tag):
+        out = ddim(variables, batch, jax.random.PRNGKey(99))
+        irs = []
+        for i in range(n_pairs):
+            corrs = extract_correspondences(
+                out["corr_mask"][i], out["conf_matrix_pred"][i], 512)
+            ir = inlier_ratio(out["s_pcd"][i][corrs.src_idx],
+                              out["t_pcd"][i][corrs.tgt_idx], corrs.valid,
+                              batch.rot_gt[i], batch.trn_gt[i][:, 0], inlier_thr=0.1)
+            irs.append(float(ir))
+        rre = rotation_error_deg(out["rotation_pred"], batch.rot_gt)
+        print(f"{tag}: IR mean={np.mean(irs):.3f} (per pair {np.round(irs,2)}), "
+              f"RRE mean={float(jnp.mean(rre)):.1f} deg", flush=True)
+        return np.mean(irs)
+
+    variables = {"params": state.params, "buffers": state.buffers}
+    ir0 = evaluate(variables, "before training")
+
+    t0 = time.time()
+    for i in range(n_steps):
+        state, info = step(state, batch, jax.random.fold_in(rng, i))
+        if (i + 1) % 50 == 0:
+            print(f"step {i+1}: loss={float(info['loss']):.4f} "
+                  f"recall={float(info['recall_coarse']):.3f} "
+                  f"({(time.time()-t0)/(i+1):.2f}s/step)", flush=True)
+
+    variables = {"params": state.params, "buffers": state.buffers}
+    ir1 = evaluate(variables, "after training")
+    print(f"RESULT: IR {ir0:.3f} -> {ir1:.3f}")
+    assert ir1 > 0.5, "overfit failed: pipeline did not learn to register"
+    print("OVERFIT CHECK PASSED")
+
+
+if __name__ == "__main__":
+    main()
