@@ -1,0 +1,118 @@
+"""2D-3D branch losses: weighted circle loss + focal matching (+ denoising).
+
+Re-implements vision3d circle_loss (vision3d/loss/circle_loss.py:10-54) and
+the experiment's OverallLoss structure (Diff-Reg-2d3d/experiments/.../
+loss.py:9-125): circle loss on coarse fused features (main and denoising
+paths) with overlap-derived positive/negative masks, plus the focal matching
+loss on both predicted and denoised matrices. Fully masked/static.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.vision import pairwise_distance
+from .losses import LossConfig, focal_correspondence_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CircleLossConfig:
+    positive_margin: float = 0.1
+    negative_margin: float = 1.4
+    positive_optimal: float = 0.1
+    negative_optimal: float = 1.4
+    log_scale: float = 40.0
+    positive_overlap: float = 0.3
+    negative_overlap: float = 0.2
+
+
+def circle_loss(feat_dists, pos_masks, neg_masks, cfg: CircleLossConfig,
+                pos_scales=None, row_valid=None, col_valid=None):
+    """Weighted circle loss over a [N, M] feature-distance matrix.
+
+    Anchors (rows/cols) participate only if they have >=1 positive AND >=1
+    negative; means are over participating anchors (circle_loss.py:23-52).
+    """
+    row_masks = (pos_masks.sum(-1) > 0) & (neg_masks.sum(-1) > 0)
+    col_masks = (pos_masks.sum(-2) > 0) & (neg_masks.sum(-2) > 0)
+    if row_valid is not None:
+        row_masks = row_masks & row_valid
+    if col_valid is not None:
+        col_masks = col_masks & col_valid
+
+    pos_w = feat_dists - 1e5 * (~pos_masks).astype(feat_dists.dtype)
+    pos_w = jnp.maximum(pos_w - cfg.positive_optimal, 0.0)
+    if pos_scales is not None:
+        pos_w = pos_w * pos_scales
+    pos_w = jax.lax.stop_gradient(pos_w)
+
+    neg_w = feat_dists + 1e5 * (~neg_masks).astype(feat_dists.dtype)
+    neg_w = jnp.maximum(cfg.negative_optimal - neg_w, 0.0)
+    neg_w = jax.lax.stop_gradient(neg_w)
+
+    logits_pos = cfg.log_scale * (feat_dists - cfg.positive_margin) * pos_w
+    logits_neg = cfg.log_scale * (cfg.negative_margin - feat_dists) * neg_w
+
+    lp_row = jax.nn.logsumexp(logits_pos, axis=-1)
+    lp_col = jax.nn.logsumexp(logits_pos, axis=-2)
+    ln_row = jax.nn.logsumexp(logits_neg, axis=-1)
+    ln_col = jax.nn.logsumexp(logits_neg, axis=-2)
+
+    loss_row = jax.nn.softplus(lp_row + ln_row) / cfg.log_scale
+    loss_col = jax.nn.softplus(lp_col + ln_col) / cfg.log_scale
+
+    mean_row = jnp.sum(jnp.where(row_masks, loss_row, 0.0)) / jnp.maximum(row_masks.sum(), 1)
+    mean_col = jnp.sum(jnp.where(col_masks, loss_col, 0.0)) / jnp.maximum(col_masks.sum(), 1)
+    return 0.5 * (mean_row + mean_col)
+
+
+def normalized_feat_dists(a, b, eps=1e-8):
+    """sqrt pairwise distance of L2-normalized features (loss.py:38)."""
+    an = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), eps, None)
+    bn = b / jnp.clip(jnp.linalg.norm(b, axis=-1, keepdims=True), eps, None)
+    return jnp.sqrt(pairwise_distance(an, bn) + eps)
+
+
+def overlap_masks(overlaps, circle_cfg: CircleLossConfig):
+    """pos/neg masks + sqrt-overlap positive scales from a dense overlap
+    matrix (loss.py:41-48)."""
+    pos = overlaps > circle_cfg.positive_overlap
+    neg = overlaps < circle_cfg.negative_overlap
+    scales = jnp.sqrt(overlaps * pos.astype(overlaps.dtype))
+    return pos, neg, scales
+
+
+def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
+              overlaps=None):
+    """Total 2D-3D training loss for one batch (batch looped via vmap/mean).
+
+    outputs: dict from DiffReg2D3D train mode. ``overlaps`` [B, N, M] dense
+    GT patch overlap (falls back to the binary GT matrix when overlap ratios
+    are unavailable).
+    """
+    matrix_gt = outputs["matrix_gt"]
+    valid = outputs["node_masks"][:, :, None] & outputs["img_valid_c"][:, None, :]
+    if overlaps is None:
+        overlaps = matrix_gt
+
+    def one(pcd_f, img_f, ov, nm, iv):
+        dists = normalized_feat_dists(pcd_f, img_f)
+        pos, neg, scales = overlap_masks(ov, circle_cfg)
+        v = nm[:, None] & iv[None, :]
+        return circle_loss(dists, pos & v, neg & v, circle_cfg, scales,
+                           row_valid=nm, col_valid=iv)
+
+    l_circle = jnp.mean(jax.vmap(one)(
+        outputs["pcd_feats_c"], outputs["img_feats_c"], overlaps,
+        outputs["node_masks"], outputs["img_valid_c"]))
+
+    l_focal = focal_correspondence_loss(
+        outputs["conf_matrix_pred"], matrix_gt, valid, focal_cfg)
+    l_gt_hat = focal_correspondence_loss(
+        outputs["conf_matrix_gt_hat"], matrix_gt, valid, focal_cfg)
+
+    total = l_circle + l_focal + l_gt_hat
+    return total, {"circle": l_circle, "focal": l_focal,
+                   "gt_hat": l_gt_hat, "loss": total}
