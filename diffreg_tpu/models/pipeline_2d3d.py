@@ -244,6 +244,8 @@ class DiffReg2D3D(nn.Module):
             "pcd_feats_c": pcd_t,
             "img_feats_c": img_t,
             "partition": part,
+            "img_feats_f": enc["img_feats_f"],
+            "pcd_feats_f": enc["pcd_feats_f"],
         }
 
         if mode == "train":
@@ -295,6 +297,105 @@ class DiffReg2D3D(nn.Module):
         out["conf_matrix_pred"] = conf
         out["corr_mask"] = corr
         return out
+
+
+def fine_matching(
+    img_feats_f,       # [H, W, C] fine image features (one pair)
+    img_points_f,      # [H*W, 3] back-projected image points
+    img_pixels_f,      # [H*W, 2] pixel coords (v, u)
+    pcd_feats_f,       # [N0, C] fine point features
+    pcd_points_f,      # [N0, 3]
+    corr_src,          # [C] coarse corr: pcd node indices
+    corr_tgt,          # [C] coarse corr: img patch indices
+    corr_valid,        # [C]
+    node_knn_indices,  # [M, Kc] fine-point indices per node (sentinel N0)
+    node_knn_masks,    # [M, Kc]
+    patch_pixel_indices,  # [P, Kp] flat pixel indices per patch (stride-2 subset)
+    max_fine_corr: int,
+    topk: int = 2,
+    threshold: float = 0.75,
+):
+    """Patch-level fine matching (model.py:707-780), static shapes.
+
+    For every coarse correspondence, cosine-match the patch's fine pixels
+    against the node's fine points with mutual top-k + threshold; emit a
+    fixed-size deduplicated correspondence buffer.
+    """
+    h, w, c = img_feats_f.shape
+    n0 = pcd_feats_f.shape[0]
+    img_flat = img_feats_f.reshape(-1, c)
+
+    # gather per-correspondence candidate sets
+    img_idx = patch_pixel_indices[corr_tgt]                 # [C, Kp]
+    img_f = img_flat[img_idx]                               # [C, Kp, C]
+    pcd_idx = node_knn_indices[corr_src]                    # [C, Kc]
+    pcd_m = node_knn_masks[corr_src] & corr_valid[:, None]
+    pcd_pad = jnp.concatenate([pcd_feats_f, jnp.zeros((1, c))], axis=0)
+    pcd_f = pcd_pad[pcd_idx]                                # [C, Kc, C]
+
+    def norm(x):
+        return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8, None)
+
+    sim = jnp.einsum("cpk,cqk->cpq", norm(img_f), norm(pcd_f),
+                     precision=jax.lax.Precision.HIGHEST)   # [C, Kp, Kc]
+
+    corr = batch_mutual_topk_select(
+        sim, topk,
+        valid_row=corr_valid[:, None] & jnp.ones(img_idx.shape, bool),
+        valid_col=pcd_m, threshold=threshold, largest=True, mutual=True)
+
+    # flatten to fixed-size buffer, highest scores first
+    from ..ops.masked import NEG_INF
+
+    flat_scores = jnp.where(corr, sim, NEG_INF).reshape(-1)
+    scores, order = jax.lax.top_k(flat_scores, max_fine_corr)
+    valid = scores > NEG_INF / 2
+    kp, kc = img_idx.shape[1], pcd_idx.shape[1]
+    ci = order // (kp * kc)
+    pi = (order // kc) % kp
+    qi = order % kc
+    img_sel = img_idx[ci, pi]
+    pcd_sel = jnp.minimum(pcd_idx[ci, qi], n0 - 1)
+
+    # dedup (model.py:757-762) without int64 (x64 stays off on TPU):
+    # lexsort on (img, pcd) and keep first occurrences
+    big = jnp.int32(2**30)
+    img_m = jnp.where(valid, img_sel, big)
+    pcd_m = jnp.where(valid, pcd_sel, big)
+    order2 = jnp.lexsort((pcd_m, img_m))
+    img_s, pcd_s, val_s = img_m[order2], pcd_m[order2], valid[order2]
+    first = (img_s != jnp.roll(img_s, 1)) | (pcd_s != jnp.roll(pcd_s, 1))
+    first = first.at[0].set(True)
+    uvalid = val_s & first
+    img_u = jnp.where(uvalid, img_s, 0)
+    pcd_u = jnp.where(uvalid, pcd_s, 0)
+
+    out_scores = jnp.sum(norm(img_flat[img_u]) * norm(pcd_feats_f[pcd_u]), axis=-1)
+    return {
+        "img_corr_pixels": img_pixels_f[img_u],
+        "img_corr_points": img_points_f[img_u],
+        "pcd_corr_points": pcd_points_f[pcd_u],
+        "pcd_corr_indices": pcd_u,
+        "img_corr_indices": img_u,
+        "corr_scores": jnp.where(uvalid, out_scores, 0.0),
+        "corr_valid": uvalid,
+    }
+
+
+def patch_pixel_table(height, width, stride, subsample=2):
+    """Flat pixel indices per patch with a stride-``subsample`` subset
+    (reference patchify, experiments utils.py:28-55)."""
+    import numpy as np
+
+    hp, wp = height // stride, width // stride
+    out = np.zeros((hp * wp, (stride // subsample) ** 2), np.int32)
+    for i in range(hp):
+        for j in range(wp):
+            vs = np.arange(i * stride, (i + 1) * stride, subsample)
+            us = np.arange(j * stride, (j + 1) * stride, subsample)
+            grid = (vs[:, None] * width + us[None, :]).reshape(-1)
+            out[i * wp + j] = grid
+    return out
 
 
 def _matrix_from_indices(gt_src, gt_tgt, gt_valid, n, m):
