@@ -28,7 +28,7 @@ def calibrate_spec(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     cfg: PyramidConfig,
     neighbor_percentile: float = 90.0,
-    headroom: float = 1.1,
+    headroom: float = 1.3,
     round_points: int = 256,
     round_tokens: int = 64,
     k_cap: int = 64,

@@ -58,8 +58,7 @@ def main():
 
     for steps in (1, 5, 20):
         fwd = jax.jit(lambda v, b, r, s=steps: model.apply(
-            v, b, r, mode="ddim",
-            method=lambda m, bb, rr: m.ddim_sample(bb, rr, sample_steps=s)))
+            v, b, r, s, method=lambda m, bb, rr, ss: m.ddim_sample(bb, rr, sample_steps=ss)))
         t = timed(fwd, variables, batch, rng, iters=5)
         print(f"ddim steps={steps:3d}:        {t*1e3:8.2f} ms/batch16")
 
