@@ -22,6 +22,14 @@ import numpy as np
 
 
 def main():
+    import os
+
+    prec = os.environ.get("DIFFREG_PRECISION")
+    if prec:
+        from diffreg_tpu.utils.precision import set_precision
+
+        set_precision(prec)
+
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_points = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
@@ -69,16 +77,19 @@ def main():
             out["conf_matrix_pred"], out["corr_mask"], out["s_pcd"], out["t_pcd"], keys)
         return rot, trn
 
-    # warmup/compile
+    # warmup/compile. NOTE: device->host readback (np.asarray) is the only
+    # reliable completion barrier on the tunneled TPU backend —
+    # block_until_ready returns early there, which silently inflates
+    # throughput ~50x. Never trust block-based timing on this backend.
     r, t = register(variables, batch, rng)
-    jax.block_until_ready(r)
+    np.asarray(r)
 
-    # timed runs
+    # timed runs, forcing completion every iteration via readback
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         r, t = register(variables, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(r)
+        np.asarray(r)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch_size * iters / dt

@@ -53,9 +53,29 @@ def ransac_pose(
     w3 = jnp.ones((num_hypotheses, 3, 1))
     r_h, t_h, _ = weighted_kabsch(s3, t3, w3)                   # [H, 3, 3], [H, 3, 1]
 
-    # --- inlier counting over all correspondences for all hypotheses ---
-    warped = jnp.einsum("hij,cj->hci", r_h, src_corr) + jnp.swapaxes(t_h, 1, 2)
-    d2 = jnp.sum((warped - tgt_corr[None]) ** 2, axis=-1)       # [H, C]
+    # --- inlier counting for all hypotheses as ONE MXU matmul ---
+    # ||R s + t - t'||^2 = (||s||^2 + ||t'||^2) + ||t||^2
+    #                      + 2 <R^T t, s> - 2 <t, t'> - 2 <vec(R), vec(t' s^T)>
+    # so d2[h, c] = W[h, :] @ G[:, c] with 17 static features — avoids the
+    # [H, C, 3] intermediate (HBM-bound) entirely.
+    c_pts = src_corr.shape[0]
+    g = jnp.concatenate([
+        jnp.ones((c_pts, 1)),
+        (jnp.sum(src_corr**2, 1) + jnp.sum(tgt_corr**2, 1))[:, None],
+        src_corr,                                        # <R^T t, s>
+        tgt_corr,                                        # -2 <t, t'>
+        (tgt_corr[:, :, None] * src_corr[:, None, :]).reshape(c_pts, 9),
+    ], axis=1)                                           # [C, 17]
+    t_flat = t_h[:, :, 0]
+    rt_t = jnp.einsum("hij,hi->hj", r_h, t_flat)          # R^T t
+    w = jnp.concatenate([
+        jnp.sum(t_flat**2, 1)[:, None],
+        jnp.ones((num_hypotheses, 1)),
+        2.0 * rt_t,
+        -2.0 * t_flat,
+        -2.0 * r_h.reshape(num_hypotheses, 9),
+    ], axis=1)                                           # [H, 17]
+    d2 = jnp.matmul(w, g.T, precision=jax.lax.Precision.HIGHEST)  # [H, C]
     inlier = (d2 < distance_threshold**2) & corr_valid[None]
     counts = inlier.sum(axis=1)                                  # [H]
 

@@ -49,12 +49,16 @@ def main(argv=None):
     from .utils.logging import Logger
 
     raw = load_yaml(args.config)
-    pipeline_cfg = build_pipeline_config(raw)
-    loss_cfg = build_loss_config(raw)
-    optim_cfg = build_optim_config(raw)
     mode = args.mode or raw.get("mode", "test")
     batch_size = args.batch_size or int(raw.get("batch_size", 1))
     dataset_name = str(raw.get("dataset", "3dmatch"))
+
+    if dataset_name in ("rgbdv2", "7scenes"):
+        return run_2d3d(args, raw, mode, batch_size, dataset_name)
+
+    pipeline_cfg = build_pipeline_config(raw)
+    loss_cfg = build_loss_config(raw)
+    optim_cfg = build_optim_config(raw)
 
     save_dir = os.path.join("snapshot", raw.get("exp_dir", "run"))
     logger = Logger(save_dir)
@@ -148,6 +152,98 @@ def main(argv=None):
         else:
             tester = ThreeDMatchTester(model, variables, TestConfig(), logger)
         tester.test(make_test_iter, rng=rng)
+
+
+def run_2d3d(args, raw, mode, batch_size, dataset_name):
+    """2D-3D task driver (RGB-D Scenes V2 / 7Scenes)."""
+    import numpy as np
+
+    from .engine.tester2d3d import Test2D3DConfig, TwoDThreeDTester
+    from .models.pipeline_2d3d import DiffReg2D3D, Pipeline2D3DConfig
+    from .nn.matching import MatchingConfig
+    from .nn.point_backbone import PointBackboneConfig
+    from .utils.logging import Logger
+
+    m = raw.get("model_2d3d", {})
+    ev = raw.get("eval", {})
+    cfg = Pipeline2D3DConfig(
+        img_out_dim=int(m.get("img_out_dim", 128)),
+        img_base_dim=int(m.get("img_base_dim", 128)),
+        pcd_backbone=PointBackboneConfig(
+            output_dim=int(m.get("pcd_output_dim", 128)),
+            init_dim=int(m.get("pcd_init_dim", 64))),
+        hidden_dim=int(m.get("hidden_dim", 256)),
+        output_dim=int(m.get("output_dim", 256)),
+        num_heads=int(m.get("num_heads", 4)),
+        matching=MatchingConfig(feature_dim=int(m.get("output_dim", 256))),
+        coarse_stride=int(m.get("coarse_stride", 8)),
+        pcd_num_points_in_patch=int(m.get("pcd_num_points_in_patch", 32)),
+        pcd_min_node_size=int(m.get("pcd_min_node_size", 5)),
+        sample_steps=int(raw.get("SAMPLE_STEP", 10)),
+        use_dino=bool(m.get("use_dino", False)),
+        use_mono_depth=bool(m.get("use_mono_depth", False)),
+    )
+    model = DiffReg2D3D(cfg)
+
+    save_dir = os.path.join("snapshot", raw.get("exp_dir", "run-2d3d"))
+    logger = Logger(save_dir)
+    logger.info(f"2D-3D task={dataset_name} mode={mode} steps={cfg.sample_steps}")
+
+    data_root = raw.get("data_root", "")
+    demo = args.demo or not (data_root and os.path.exists(data_root))
+    rng = jax.random.PRNGKey(int(raw.get("seed", 0)))
+
+    if demo:
+        from .data.synthetic2d3d import synthetic_2d3d_batch
+
+        logger.info("demo mode: synthetic image<->cloud pairs")
+
+        def make_iter():
+            for i in range(max(1, args.num_pairs // batch_size)):
+                yield synthetic_2d3d_batch(batch_size=batch_size, img_hw=(64, 96),
+                                           n_points=512, seed=i), [{}] * batch_size
+
+        probe = next(make_iter())[0]
+    else:
+        from .data.collate2d3d import Spec2D3D, batch_2d3d, build_2d3d_sample
+        from .data.datasets2d3d import RGBDScenes2D3DPairDataset
+
+        ds = RGBDScenes2D3DPairDataset(data_root, "test" if mode == "test" else "train",
+                                       use_augmentation=(mode == "train"))
+        spec = Spec2D3D(n_points=(32768, 8192, 2048))
+
+        def make_iter():
+            buf, metas = [], []
+            for i in range(len(ds)):
+                raw_s = ds[i]
+                # crop to stride-divisible window
+                st = cfg.coarse_stride
+                h = raw_s["depth"].shape[0] // st * st
+                w = raw_s["depth"].shape[1] // st * st
+                for k in ("depth", "image", "image_gray"):
+                    raw_s[k] = raw_s[k][:h, :w]
+                try:
+                    buf.append(build_2d3d_sample(raw_s, spec, st))
+                    metas.append(raw_s["scene_name"])
+                except ValueError:
+                    continue
+                if len(buf) == batch_size:
+                    yield batch_2d3d(buf), metas
+                    buf, metas = [], []
+
+        probe = next(make_iter())[0]
+
+    variables = model.init({"params": rng}, probe, rng, mode="train")
+    tester = TwoDThreeDTester(
+        model, variables,
+        Test2D3DConfig(
+            acceptance_radius=float(ev.get("acceptance_radius", 0.05)),
+            ir_threshold=float(ev.get("ir_threshold", 0.1)),
+            rmse_threshold=float(ev.get("rmse_threshold", 0.1)),
+            pnp_tolerance_px=float(ev.get("pnp_tolerance_px", 8.0)),
+        ),
+        logger)
+    tester.test(make_iter, rng=rng)
 
 
 if __name__ == "__main__":

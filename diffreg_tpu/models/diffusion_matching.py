@@ -103,7 +103,16 @@ class DiffusionMatchingModel(nn.Module):
 
     def _warp_from_noisy_matrix(self, x, s_pcd, t_pcd, src_mask, tgt_mask):
         """Sinkhorn-project a noisy matrix, extract a pose, warp the source
-        (pipeline.py:293-309). Warp uses the condition-gated pose."""
+        (pipeline.py:293-309). Warp uses the condition-gated pose.
+
+        Static shortcut: with ``max_condition_num <= 0`` the gate rejects
+        every solution, so the forward warp is ALWAYS identity (reference
+        3DMatch test config, procrustes.py:86-91) — the per-step Sinkhorn
+        and the top-k pose solve are dead compute and are skipped entirely.
+        This is exact, not an approximation.
+        """
+        if self.cfg.procrustes.max_condition_num <= 0:
+            return s_pcd, t_pcd, None, None
         conf = self.denoising_matching.sinkhorn(x, src_mask, tgt_mask)
         res = soft_procrustes(
             conf, s_pcd, t_pcd, src_mask, tgt_mask,

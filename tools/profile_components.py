@@ -17,14 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _readback(out):
+    # device->host readback is the only reliable completion barrier on the
+    # tunneled TPU backend (block_until_ready returns early there)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timed(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _readback(out)
     return (time.perf_counter() - t0) / iters
 
 
