@@ -39,6 +39,88 @@ def _back_project_np(depth, intrinsics, depth_limit=6.0):
     return pts, valid
 
 
+def node_patch_overlaps(
+    points: np.ndarray,          # [N0, 3] cloud points (cloud frame)
+    nodes: np.ndarray,           # [Nc, 3] coarse nodes
+    img_points: np.ndarray,      # [H*W, 3] back-projected depth (cam frame)
+    img_valid: np.ndarray,       # [H*W]
+    transform: np.ndarray,       # [4, 4] cam-from-cloud
+    intrinsics: np.ndarray,
+    hw: Tuple[int, int],
+    stride: int,
+    matching_radius_3d: float = 0.0375,
+    max_pairs: int = 1024,
+):
+    """GT node<->patch overlap ratios (reference get_2d3d_node_correspondences,
+    experiments utils.py:59-173, simplified to the 3D-overlap criterion).
+
+    For each (node, patch) candidate: the 3D overlap is the fraction of the
+    node's member points (in camera space) within ``matching_radius_3d`` of
+    the patch's valid depth points; the 2D overlap is the fraction of the
+    patch's depth points within the radius of the node's members. Returns
+    padded (node_idx, patch_idx, min_overlap, max_overlap, valid).
+    """
+    from scipy.spatial import cKDTree
+
+    h, w = hw
+    hp, wp = h // stride, w // stride
+
+    # node membership of fine points
+    tree_nodes = cKDTree(nodes)
+    _, p2n = tree_nodes.query(points, k=1)
+
+    cam_pts = points @ transform[:3, :3].T + transform[:3, 3]
+
+    # patch membership of image pixels
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    patch_of_pixel = (vv // stride) * wp + (uu // stride)
+    patch_of_pixel = patch_of_pixel.reshape(-1)
+
+    pairs = []
+    img_tree = cKDTree(img_points[img_valid]) if img_valid.any() else None
+    patch_ids_valid = patch_of_pixel[img_valid]
+    if img_tree is None:
+        return (np.zeros(max_pairs, np.int32), np.zeros(max_pairs, np.int32),
+                np.zeros(max_pairs, np.float32), np.zeros(max_pairs, np.float32),
+                np.zeros(max_pairs, bool))
+
+    for ni in range(len(nodes)):
+        members = cam_pts[p2n == ni]
+        if len(members) == 0:
+            continue
+        # which patches do the members land near?
+        neigh_lists = img_tree.query_ball_point(members, matching_radius_3d)
+        hit_patches = {}
+        hit_any = np.zeros(len(members), bool)
+        for mi, lst in enumerate(neigh_lists):
+            if lst:
+                hit_any[mi] = True
+                for j in lst:
+                    hit_patches.setdefault(patch_ids_valid[j], set()).add(mi)
+        for pj, member_set in hit_patches.items():
+            ratio_3d = len(member_set) / len(members)
+            # 2D side: fraction of the patch's depth points near the node members
+            patch_pt_idx = np.nonzero(patch_ids_valid == pj)[0]
+            if len(patch_pt_idx) == 0:
+                continue
+            m_tree = cKDTree(members)
+            d, _ = m_tree.query(img_points[img_valid][patch_pt_idx], k=1)
+            ratio_2d = float((d <= matching_radius_3d).mean())
+            pairs.append((ni, int(pj), min(ratio_3d, ratio_2d), max(ratio_3d, ratio_2d)))
+
+    pairs.sort(key=lambda t: -t[3])
+    n = min(len(pairs), max_pairs)
+    node_idx = np.zeros(max_pairs, np.int32)
+    patch_idx = np.zeros(max_pairs, np.int32)
+    min_ov = np.zeros(max_pairs, np.float32)
+    max_ov = np.zeros(max_pairs, np.float32)
+    valid = np.zeros(max_pairs, bool)
+    for i in range(n):
+        node_idx[i], patch_idx[i], min_ov[i], max_ov[i] = pairs[i]
+        valid[i] = True
+    return node_idx, patch_idx, min_ov, max_ov, valid
+
+
 def build_2d3d_sample(raw: dict, spec: Spec2D3D, coarse_stride: int = 8,
                       gt_radius: float = 0.15) -> dict:
     """One raw dataset dict -> padded arrays for Batch2D3D."""

@@ -21,6 +21,25 @@ import jax.numpy as jnp
 from ..geometry.procrustes import weighted_kabsch
 
 
+def _three_point_pose(s3, t3, eps=1e-12):
+    """Rigid pose from 3-point minimal sets [H, 3, 3] via frame alignment."""
+    def frame(p):
+        u1 = p[:, 1] - p[:, 0]
+        u2 = p[:, 2] - p[:, 0]
+        e1 = u1 / jnp.clip(jnp.linalg.norm(u1, axis=1, keepdims=True), eps, None)
+        u2p = u2 - jnp.sum(u2 * e1, axis=1, keepdims=True) * e1
+        e2 = u2p / jnp.clip(jnp.linalg.norm(u2p, axis=1, keepdims=True), eps, None)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=2)  # columns
+
+    fs, ft = frame(s3), frame(t3)
+    r = ft @ jnp.swapaxes(fs, 1, 2)
+    cs = s3.mean(axis=1, keepdims=True)
+    ct = t3.mean(axis=1, keepdims=True)
+    t = jnp.swapaxes(ct, 1, 2) - r @ jnp.swapaxes(cs, 1, 2)
+    return r, t
+
+
 class RansacResult(NamedTuple):
     rotation: jnp.ndarray      # [3, 3]
     translation: jnp.ndarray   # [3, 1]
@@ -44,14 +63,17 @@ def ransac_pose(
 
     # --- sample 3 distinct-ish correspondence indices per hypothesis ---
     u = jax.random.uniform(rng, (num_hypotheses, 3))
-    idx = jnp.clip((u * n_valid).astype(jnp.int32), 0, c - 1)   # uniform over valid prefix?
+    idx = jnp.clip((u * n_valid).astype(jnp.int32), 0, c - 1)
     # corr arrays are score-sorted with valid entries first, so indices
     # [0, n_valid) hit exactly the valid set.
     s3 = src_corr[idx]                                          # [H, 3, 3]
     t3 = tgt_corr[idx]
 
-    w3 = jnp.ones((num_hypotheses, 3, 1))
-    r_h, t_h, _ = weighted_kabsch(s3, t3, w3)                   # [H, 3, 3], [H, 3, 1]
+    # Minimal-set pose via orthonormal-frame alignment: for 3 exact
+    # correspondences R = F_tgt @ F_src^T — pure cross products, no eigh.
+    # (The optimal-weighted solve stays for the refinement steps below;
+    # hypothesis generation doesn't need least-squares optimality.)
+    r_h, t_h = _three_point_pose(s3, t3)
 
     # --- inlier counting for all hypotheses as ONE MXU matmul ---
     # ||R s + t - t'||^2 = (||s||^2 + ||t'||^2) + ||t||^2

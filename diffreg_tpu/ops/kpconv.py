@@ -47,8 +47,16 @@ def kpconv(
     shadow_x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
     neighbors = shadow_pts[neighb_inds] - q_pts[:, None, :]          # [Nq, K, 3]
-    diff = neighbors[:, :, None, :] - kernel_points[None, None, :, :]  # [Nq, K, P, 3]
-    sq_d = jnp.sum(diff * diff, axis=-1)                              # [Nq, K, P]
+    # ||n - kp||^2 = ||n||^2 + ||kp||^2 - 2 n.kp — the cross term is one MXU
+    # matmul; avoids materializing the [Nq, K, P, 3] difference tensor whose
+    # HBM traffic dominates the whole backbone at 3DMatch scale.
+    import jax
+
+    n2 = jnp.sum(neighbors * neighbors, axis=-1, keepdims=True)      # [Nq, K, 1]
+    k2 = jnp.sum(kernel_points * kernel_points, axis=-1)             # [P]
+    cross = jnp.einsum("nkc,pc->nkp", neighbors, kernel_points,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq_d = jnp.clip(n2 + k2[None, None, :] - 2.0 * cross, 0.0, None)  # [Nq, K, P]
 
     if influence == "linear":
         all_w = jnp.clip(1.0 - jnp.sqrt(sq_d) / kp_extent, 0.0, None)

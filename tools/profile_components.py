@@ -17,9 +17,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def scalarize(fn):
+    """Wrap fn so it returns one on-device scalar: forces full execution
+    while keeping the (slow) tunnel readback negligible."""
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(jnp.sum(l) for l in jax.tree.leaves(out)
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+    return jax.jit(wrapped)
+
+
 def _readback(out):
     # device->host readback is the only reliable completion barrier on the
-    # tunneled TPU backend (block_until_ready returns early there)
+    # tunneled TPU backend (block_until_ready returns early there); callers
+    # must keep outputs tiny (scalarize) or the tunnel transfer dominates.
     leaf = jax.tree.leaves(out)[0]
     np.asarray(leaf)
 
@@ -59,12 +70,12 @@ def main():
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)
 
-    encode = jax.jit(lambda v, b: model.apply(v, b, method=lambda m, bb: m.encode(bb)))
+    encode = scalarize(lambda v, b: model.apply(v, b, method=lambda m, bb: m.encode(bb)))
     t_enc = timed(encode, variables, batch)
     print(f"backbone encode+split: {t_enc*1e3:8.2f} ms/batch16")
 
     for steps in (1, 5, 20):
-        fwd = jax.jit(lambda v, b, r, s=steps: model.apply(
+        fwd = scalarize(lambda v, b, r, s=steps: model.apply(
             v, b, r, s, method=lambda m, bb, rr, ss: m.ddim_sample(bb, rr, sample_steps=ss)))
         t = timed(fwd, variables, batch, rng, iters=5)
         print(f"ddim steps={steps:3d}:        {t*1e3:8.2f} ms/batch16")
@@ -74,13 +85,13 @@ def main():
     x = jax.random.normal(rng, (16, s, t_))
     sm = jnp.ones((16, s), bool)
     tm = jnp.ones((16, t_), bool)
-    f_skh = jax.jit(lambda xx: log_sinkhorn(xx, 1.0, 3, sm, tm))
+    f_skh = scalarize(lambda xx: log_sinkhorn(xx, 1.0, 3, sm, tm))
     print(f"sinkhorn x3 [16,{s},{t_}]: {timed(f_skh, x)*1e3:8.2f} ms")
 
     src = jax.random.normal(rng, (512, 3))
     tgt = src @ jnp.eye(3) + 0.1
-    f_ransac = jax.jit(lambda k: ransac_pose(k, src, tgt, jnp.ones(512, bool),
-                                             num_hypotheses=8192))
+    f_ransac = scalarize(lambda k: ransac_pose(k, src, tgt, jnp.ones(512, bool),
+                                               num_hypotheses=8192))
     print(f"ransac 8192 hyp x1 pair:  {timed(f_ransac, rng)*1e3:8.2f} ms")
 
     if trace:
