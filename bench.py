@@ -54,6 +54,11 @@ def main():
         batch_size=batch_size, n_points=n_points, seed=0, spec=spec, cfg=pcfg)
 
     cfg = preset_3dmatch(sample_steps=steps)
+    if os.environ.get("DIFFREG_FLASH", "0") == "1":
+        import dataclasses
+
+        tf = dataclasses.replace(cfg.coarse_transformer, flash_attention=True)
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     model = DiffusionMatchingModel(cfg)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)

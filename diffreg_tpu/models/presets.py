@@ -59,6 +59,7 @@ def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
         entangled=False,
         procrustes=procrustes,
         feature_matching=matching,
+        flash_attention=True,   # fused Pallas attention (XLA fallback on CPU tests)
     )
     kpfcn = KPFCNConfig(
         architecture=KPFCN_ARCHITECTURE,
@@ -102,7 +103,8 @@ def preset_tiny(variant: str = "3dmatch", sample_steps: int = 2) -> PipelineConf
         else preset_4dmatch(sample_steps=sample_steps)
     matching = dataclasses.replace(base.coarse_matching, feature_dim=48)
     transformer = dataclasses.replace(
-        base.coarse_transformer, feature_dim=48, n_head=2, feature_matching=matching)
+        base.coarse_transformer, feature_dim=48, n_head=2, feature_matching=matching,
+        flash_attention=False)  # interpret-mode Pallas is too slow for CPU tests
     kpfcn = dataclasses.replace(
         base.kpfcn, first_feats_dim=16, coarse_feature_dim=48,
         fine_feature_dim=16, first_subsampling_dl=0.06)

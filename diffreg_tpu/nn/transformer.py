@@ -50,6 +50,7 @@ class TransformerConfig:
     entangled: bool = False
     procrustes: ProcrustesConfig = ProcrustesConfig()
     feature_matching: Optional[MatchingConfig] = None
+    flash_attention: bool = False          # fused Pallas attention kernel
 
 
 class GeometryAttentionLayer(nn.Module):
@@ -57,6 +58,7 @@ class GeometryAttentionLayer(nn.Module):
     d_model: int
     n_head: int
     pe_type: str
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
@@ -86,14 +88,26 @@ class GeometryAttentionLayer(nn.Module):
         kw = kw.reshape(b, -1, h, dim)
         vw = vw.reshape(b, -1, h, dim)
 
-        a = jnp.einsum("blhd,bshd->blsh", qw, kw, precision=get_precision())
-        if source_mask is not None:
-            # reference semantics: mask only (valid q, invalid kv) entries
-            bad = x_mask[:, :, None] & (~source_mask[:, None, :])
-            a = jnp.where(bad[..., None], NEG_INF, a)
-        a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
-        a = jax.nn.softmax(a, axis=2)
-        o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
+        if self.use_flash and source_mask is not None:
+            # fused Pallas attention — [B,H,L,S] logits never hit HBM. Valid
+            # rows match the XLA path; invalid-query rows differ only where
+            # the reference also leaves garbage (masked downstream).
+            from ..ops.pallas.attention_kernel import masked_attention_pallas
+
+            interpret = jax.devices()[0].platform == "cpu"
+            o = masked_attention_pallas(
+                qw.transpose(0, 2, 1, 3), kw.transpose(0, 2, 1, 3),
+                vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret)
+            o = o.transpose(0, 2, 1, 3)
+        else:
+            a = jnp.einsum("blhd,bshd->blsh", qw, kw, precision=get_precision())
+            if source_mask is not None:
+                # reference semantics: mask only (valid q, invalid kv) entries
+                bad = x_mask[:, :, None] & (~source_mask[:, None, :])
+                a = jnp.where(bad[..., None], NEG_INF, a)
+            a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
+            a = jax.nn.softmax(a, axis=2)
+            o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
 
         message = merge(o.reshape(b, -1, self.d_model))
         message = nn.LayerNorm(name="norm1")(message)
@@ -114,7 +128,7 @@ class RepositioningTransformer(nn.Module):
             if lt in ("self", "cross"):
                 modules[str(i)] = GeometryAttentionLayer(
                     self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
-                    name=f"layer{i}_{lt}")
+                    use_flash=self.cfg.flash_attention, name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":
                     assert self.cfg.feature_matching is not None
