@@ -53,11 +53,11 @@ def main():
     batch, _, _ = synthetic_batch(
         batch_size=batch_size, n_points=n_points, seed=0, spec=spec, cfg=pcfg)
 
-    cfg = preset_3dmatch(sample_steps=steps)
-    if os.environ.get("DIFFREG_FLASH", "0") == "1":
+    cfg = preset_3dmatch(sample_steps=steps)  # flash attention on by default
+    if os.environ.get("DIFFREG_FLASH") == "0":
         import dataclasses
 
-        tf = dataclasses.replace(cfg.coarse_transformer, flash_attention=True)
+        tf = dataclasses.replace(cfg.coarse_transformer, flash_attention=False)
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     model = DiffusionMatchingModel(cfg)
     rng = jax.random.PRNGKey(0)

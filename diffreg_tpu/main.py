@@ -233,6 +233,34 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
 
         probe = next(make_iter())[0]
 
+    if mode == "train":
+        from .engine import LossConfig, OptimConfig
+        from .engine.losses2d3d import CircleLossConfig
+        from .engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
+        from .engine.trainer import Trainer, TrainerConfig
+
+        lc = raw.get("loss", {}).get("coarse_loss", {})
+        circle_cfg = CircleLossConfig(
+            positive_margin=float(lc.get("positive_margin", 0.1)),
+            negative_margin=float(lc.get("negative_margin", 1.4)),
+            positive_optimal=float(lc.get("positive_optimal", 0.1)),
+            negative_optimal=float(lc.get("negative_optimal", 1.4)),
+            log_scale=float(lc.get("log_scale", 40.0)),
+            positive_overlap=float(lc.get("positive_overlap", 0.3)),
+            negative_overlap=float(lc.get("negative_overlap", 0.2)),
+        )
+        ocfg = OptimConfig(optimizer="adam", lr=float(raw.get("lr", 1e-4)))
+        state = create_train_state_2d3d(model, probe, rng, ocfg)
+        step = jax.jit(make_train_step_2d3d(model, circle_cfg, LossConfig(), ocfg))
+        trainer = Trainer(step, state, lambda epoch: make_iter(),
+                          TrainerConfig(max_epoch=int(raw.get("max_epoch", 10)),
+                                        save_dir=save_dir),
+                          logger=logger, rng=rng)
+        if args.resume:
+            trainer.resume()
+        trainer.train()
+        return
+
     variables = model.init({"params": rng}, probe, rng, mode="train")
     tester = TwoDThreeDTester(
         model, variables,

@@ -106,3 +106,21 @@ class TestFourier:
         x = jnp.zeros((2, 7, 3))
         emb = fourier_embedding(x, length=10)
         assert emb.shape == (2, 7, 10 * 6 + 3)  # matches pcd_emb_proj input dim
+
+
+class TestTraining2D3D:
+    def test_loss_decreases(self, setup_2d3d):
+        from diffreg_tpu.engine import LossConfig, OptimConfig
+        from diffreg_tpu.engine.losses2d3d import CircleLossConfig
+        from diffreg_tpu.engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
+
+        batch, model, variables = setup_2d3d
+        ocfg = OptimConfig(optimizer="adam", lr=5e-4)
+        state = create_train_state_2d3d(model, batch, jax.random.PRNGKey(0), ocfg)
+        step = jax.jit(make_train_step_2d3d(model, CircleLossConfig(), LossConfig(), ocfg))
+        losses = []
+        for i in range(6):
+            state, info = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(info["loss"]))
+            assert bool(info["grads_finite"])
+        assert losses[-1] < losses[0], losses
