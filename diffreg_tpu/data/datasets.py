@@ -134,29 +134,45 @@ class FourDMatchPairDataset:
 
 def iterate_batches(dataset, spec, pyr_cfg, batch_size: int, *, shuffle=False,
                     seed=0, drop_last=False) -> Iterator:
-    """Simple host loader: pyramid-build each pair, group into PairBatches."""
+    """Host loader: pyramid-build each pair, group into PairBatches.
+
+    ``spec`` may be one ShapeSpec or a list of buckets (small -> large):
+    each pair lands in the smallest bucket it fits; one batch is emitted per
+    bucket as it fills, so XLA compiles one program per bucket (the TPU
+    answer to ragged pair sizes, SURVEY.md §7 "bucketed padding").
+    """
     from .pyramid import batch_from_samples, build_pair_pyramid
+
+    specs = list(spec) if isinstance(spec, (list, tuple)) else [spec]
 
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
 
-    buf, metas = [], []
+    bufs = {id(s): [] for s in specs}
+    metas = {id(s): [] for s in specs}
     for i in order:
         raw = dataset[int(i)]
-        try:
-            sample = build_pair_pyramid(
-                raw["src_pcd"], raw["tgt_pcd"], raw["rot"], raw["trn"],
-                pyr_cfg, spec, scene_flow=raw.get("scene_flow"),
-                gt_cov=raw.get("gt_cov"))
-        except ValueError:
-            # pair overflows the bucket — skip (or route to a bigger bucket
-            # when multi-bucket loading lands)
-            continue
-        buf.append(sample)
-        metas.append(raw)
-        if len(buf) == batch_size:
-            yield batch_from_samples(buf), metas
-            buf, metas = [], []
-    if buf and not drop_last:
-        yield batch_from_samples(buf), metas
+        sample = None
+        used = None
+        for s in specs:
+            try:
+                sample = build_pair_pyramid(
+                    raw["src_pcd"], raw["tgt_pcd"], raw["rot"], raw["trn"],
+                    pyr_cfg, s, scene_flow=raw.get("scene_flow"),
+                    gt_cov=raw.get("gt_cov"))
+                used = s
+                break
+            except ValueError:
+                continue
+        if sample is None:
+            continue  # overflows the largest bucket
+        bufs[id(used)].append(sample)
+        metas[id(used)].append(raw)
+        if len(bufs[id(used)]) == batch_size:
+            yield batch_from_samples(bufs[id(used)]), metas[id(used)]
+            bufs[id(used)], metas[id(used)] = [], []
+    if not drop_last:
+        for s in specs:
+            if bufs[id(s)]:
+                yield batch_from_samples(bufs[id(s)]), metas[id(s)]

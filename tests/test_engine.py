@@ -174,3 +174,36 @@ class TestCalibration:
         assert spec.n_points[0] >= 780
         assert all(k >= 1 for k in spec.k_neighbors)
         assert spec.n_src > 0 and spec.n_tgt > 0
+
+
+class TestBucketedLoading:
+    def test_pairs_route_to_fitting_bucket(self, rng):
+        from diffreg_tpu.data import PyramidConfig, ShapeSpec
+        from diffreg_tpu.data.datasets import iterate_batches
+
+        class MixedDS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                r = np.random.RandomState(i)
+                n = 60 if i % 2 == 0 else 220  # small and large pairs
+                return {"src_pcd": r.rand(n, 3).astype(np.float32),
+                        "tgt_pcd": r.rand(n, 3).astype(np.float32),
+                        "rot": np.eye(3, dtype=np.float32),
+                        "trn": np.zeros((3, 1), np.float32),
+                        "gt_cov": None, "scene_flow": None, "metric_index": None}
+
+        cfg = PyramidConfig(first_subsampling_dl=0.06, coarse_match_radius=0.15)
+
+        def spec(cap):
+            return ShapeSpec(n_points=(cap,) * 4, k_neighbors=(16,) * 4,
+                             k_pools=(16,) * 3, k_upsamples=(4,) * 3,
+                             n_src=cap // 2, n_tgt=cap // 2, n_gt_matches=32)
+
+        small, large = spec(160), spec(512)
+        batches = list(iterate_batches(MixedDS(), [small, large], cfg, batch_size=2))
+        sizes = sorted(b[0].features.shape[1] for b in batches)
+        assert sizes == [160, 512]  # one batch per bucket
+        for b, _ in batches:
+            assert b.features.shape[0] == 2
