@@ -56,7 +56,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, *, scale, kv_tile, n_
     out_ref[0, 0, :, :] = acc / jnp.maximum(l_i, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "kv_tile", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
                             interpret=False):
     """q [B, H, L, D], k/v [B, H, S, D], kv_mask [B, S] -> out [B, H, L, D].
@@ -64,7 +64,16 @@ def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
     Reference mask semantics: invalid keys suppressed for all queries
     (invalid queries produce garbage rows that callers mask, exactly like
     the XLA path).
+
+    Differentiable: forward runs the fused kernel; the backward pass
+    recomputes the attention probabilities with plain XLA einsums (flash
+    backward kernels are a later optimization — training throughput is not
+    attention-bound here).
     """
+    return _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret)
+
+
+def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False):
     b, h, l, d = q.shape
     s = k.shape[2]
     scale = 1.0 / (d ** 0.5)
@@ -101,3 +110,33 @@ def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
         interpret=interpret,
     )(q, k, v, kvm)
     return out[:, :, :l, :]
+
+
+def _attn_probs(q, k, kv_mask):
+    d = q.shape[-1]
+    s = jnp.einsum("bhld,bhsd->bhls", q, k,
+                   precision=jax.lax.Precision.HIGHEST) / (d ** 0.5)
+    s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
+    return jax.nn.softmax(s, axis=-1)
+
+
+def _fwd(q, k, v, kv_mask, q_tile, kv_tile, interpret):
+    out = _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _bwd(q_tile, kv_tile, interpret, res, g):
+    q, k, v, kv_mask = res
+    d = q.shape[-1]
+    p = _attn_probs(q, k, kv_mask)                                    # [B,H,L,S]
+    dv = jnp.einsum("bhls,bhld->bhsd", p, g, precision=jax.lax.Precision.HIGHEST)
+    dp = jnp.einsum("bhld,bhsd->bhls", g, v, precision=jax.lax.Precision.HIGHEST)
+    # softmax backward: ds = p * (dp - sum(dp * p))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds / (d ** 0.5)
+    dq = jnp.einsum("bhls,bhsd->bhld", ds, k, precision=jax.lax.Precision.HIGHEST)
+    dk = jnp.einsum("bhls,bhld->bhsd", ds, q, precision=jax.lax.Precision.HIGHEST)
+    return dq, dk, dv, None
+
+
+masked_attention_pallas.defvjp(_fwd, _bwd)
