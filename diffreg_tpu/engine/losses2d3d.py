@@ -84,6 +84,46 @@ def overlap_masks(overlaps, circle_cfg: CircleLossConfig):
     return pos, neg, scales
 
 
+@dataclasses.dataclass(frozen=True)
+class FineLossConfig:
+    positive_radius_3d: float = 0.0375
+    negative_radius_3d: float = 0.1
+    positive_radius_2d: float = 8.0
+    negative_radius_2d: float = 12.0
+    circle: CircleLossConfig = CircleLossConfig()
+
+
+def fine_matching_loss(
+    img_feats,        # [M, C] features of sampled GT pixel correspondences
+    img_points,       # [M, 3] back-projected points of those pixels (cam frame)
+    img_pixels,       # [M, 2]
+    pcd_feats,        # [M, C] features of the matched cloud points
+    pcd_points_cam,   # [M, 3] cloud points mapped into camera frame
+    pcd_pixels,       # [M, 2] rendered pixels of the cloud points
+    valid,            # [M]
+    cfg: FineLossConfig,
+):
+    """Fine circle loss on sampled GT pixel<->point pairs (reference
+    FineMatchingLoss, loss.py:128-215): positives within BOTH the 3D and 2D
+    radii, negatives outside EITHER negative radius, circle loss over raw
+    feature distances."""
+    d3 = pairwise_distance(img_points, pcd_points_cam, squared=False)
+    d2 = pairwise_distance(img_pixels, pcd_pixels, squared=False)
+    v = valid[:, None] & valid[None, :]
+    pos = (d3 < cfg.positive_radius_3d) & (d2 < cfg.positive_radius_2d) & v
+    neg = ((d3 > cfg.negative_radius_3d) | (d2 > cfg.negative_radius_2d)) & v
+    fdist = jnp.sqrt(pairwise_distance(img_feats, pcd_feats) + 1e-12)
+    loss = circle_loss(fdist, pos, neg, cfg.circle,
+                       row_valid=valid, col_valid=valid)
+
+    # matching recall: fraction of rows with a positive whose feature-NN is one
+    has_pos = pos.sum(-1) > 0
+    nn_idx = jnp.argmin(jnp.where(v, fdist, jnp.inf), axis=-1)
+    hit = jnp.take_along_axis(pos, nn_idx[:, None], axis=1)[:, 0]
+    recall = (hit & has_pos).sum() / jnp.maximum(has_pos.sum(), 1)
+    return loss, recall
+
+
 def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
               overlaps=None):
     """Total 2D-3D training loss for one batch (batch looped via vmap/mean).

@@ -111,3 +111,27 @@ class TestCircleLoss:
         assert bool(pos[0, 0]) and not bool(pos[0, 1])
         assert bool(neg[0, 1]) and bool(neg[1, 1])
         np.testing.assert_allclose(float(scales[0, 0]), np.sqrt(0.5), rtol=1e-5)
+
+
+class TestFineLoss:
+    def test_separating_features_lower_loss(self, rng):
+        from diffreg_tpu.engine.losses2d3d import FineLossConfig, fine_matching_loss
+
+        m, c = 24, 16
+        pts = rng.rand(m, 3).astype(np.float32)
+        pix = (rng.rand(m, 2) * 100).astype(np.float32)
+        feats = rng.randn(m, c).astype(np.float32)
+        valid = np.ones(m, bool)
+        cfg = FineLossConfig()
+        # matched pairs: identical geometry + identical features
+        l_good, r_good = fine_matching_loss(
+            jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pix),
+            jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pix),
+            jnp.asarray(valid), cfg)
+        bad = rng.randn(m, c).astype(np.float32)
+        l_bad, r_bad = fine_matching_loss(
+            jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pix),
+            jnp.asarray(bad), jnp.asarray(pts), jnp.asarray(pix),
+            jnp.asarray(valid), cfg)
+        assert float(l_good) < float(l_bad)
+        assert float(r_good) == 1.0
