@@ -21,23 +21,34 @@ import jax.numpy as jnp
 from ..geometry.procrustes import weighted_kabsch
 
 
-def _three_point_pose(s3, t3, eps=1e-12):
-    """Rigid pose from 3-point minimal sets [H, 3, 3] via frame alignment."""
+def _three_point_pose(s3, t3, eps=1e-12, degenerate_tol=1e-5):
+    """Rigid pose from 3-point minimal sets [H, 3, 3] via frame alignment.
+
+    Returns (R, t, ok): ok is False for degenerate samples (duplicated or
+    collinear points on either side). Degenerates yield non-orthonormal R,
+    which MUST be rejected before the matmul inlier scoring — that identity
+    assumes R^T R = I, and a rank-deficient R silently underestimates
+    distances, manufacturing fake inliers.
+    """
     def frame(p):
         u1 = p[:, 1] - p[:, 0]
         u2 = p[:, 2] - p[:, 0]
-        e1 = u1 / jnp.clip(jnp.linalg.norm(u1, axis=1, keepdims=True), eps, None)
+        n1 = jnp.linalg.norm(u1, axis=1, keepdims=True)
+        e1 = u1 / jnp.clip(n1, eps, None)
         u2p = u2 - jnp.sum(u2 * e1, axis=1, keepdims=True) * e1
-        e2 = u2p / jnp.clip(jnp.linalg.norm(u2p, axis=1, keepdims=True), eps, None)
+        n2 = jnp.linalg.norm(u2p, axis=1, keepdims=True)
+        e2 = u2p / jnp.clip(n2, eps, None)
         e3 = jnp.cross(e1, e2)
-        return jnp.stack([e1, e2, e3], axis=2)  # columns
+        ok = (n1[:, 0] > degenerate_tol) & (n2[:, 0] > degenerate_tol)
+        return jnp.stack([e1, e2, e3], axis=2), ok  # columns
 
-    fs, ft = frame(s3), frame(t3)
+    fs, ok_s = frame(s3)
+    ft, ok_t = frame(t3)
     r = ft @ jnp.swapaxes(fs, 1, 2)
     cs = s3.mean(axis=1, keepdims=True)
     ct = t3.mean(axis=1, keepdims=True)
     t = jnp.swapaxes(ct, 1, 2) - r @ jnp.swapaxes(cs, 1, 2)
-    return r, t
+    return r, t, ok_s & ok_t
 
 
 class RansacResult(NamedTuple):
@@ -73,7 +84,7 @@ def ransac_pose(
     # correspondences R = F_tgt @ F_src^T — pure cross products, no eigh.
     # (The optimal-weighted solve stays for the refinement steps below;
     # hypothesis generation doesn't need least-squares optimality.)
-    r_h, t_h = _three_point_pose(s3, t3)
+    r_h, t_h, ok_h = _three_point_pose(s3, t3)
 
     # --- inlier counting for all hypotheses as ONE MXU matmul ---
     # ||R s + t - t'||^2 = (||s||^2 + ||t'||^2) + ||t||^2
@@ -99,7 +110,7 @@ def ransac_pose(
     ], axis=1)                                           # [H, 17]
     d2 = jnp.matmul(w, g.T, precision=jax.lax.Precision.HIGHEST)  # [H, C]
     inlier = (d2 < distance_threshold**2) & corr_valid[None]
-    counts = inlier.sum(axis=1)                                  # [H]
+    counts = jnp.where(ok_h, inlier.sum(axis=1), -1)             # [H]
 
     best = jnp.argmax(counts)
     best_inliers = inlier[best]
