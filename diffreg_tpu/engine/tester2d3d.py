@@ -30,6 +30,21 @@ class Test2D3DConfig:
     max_fine_corr: int = 2048
 
 
+def patch_inlier_ratio(corr_mask, gt_src, gt_tgt, gt_valid):
+    """PIR: fraction of predicted coarse node<->patch correspondences that
+    are in the GT set (eval.py evaluate_sparse_correspondences semantics).
+
+    corr_mask [N, M] bool; gt_* padded index lists.
+    """
+    n, m = corr_mask.shape
+    gt_mat = jnp.zeros((n, m), bool).at[
+        jnp.where(gt_valid, gt_src, n), jnp.where(gt_valid, gt_tgt, m)
+    ].set(True, mode="drop")
+    hits = (corr_mask & gt_mat).sum()
+    total = jnp.maximum(corr_mask.sum(), 1)
+    return hits / total
+
+
 def correspondence_inlier_ratio(pcd_corr_points, img_corr_points, corr_valid,
                                 transform, radius):
     """IR: fraction of fine correspondences whose cloud point, mapped by the
@@ -134,9 +149,12 @@ class TwoDThreeDTester:
                                          batch.transform[i][None, :3, :3])[0]
                 rte = translation_error(trn[i][None, :, 0],
                                         batch.transform[i][None, :3, 3])[0]
+                pir = patch_inlier_ratio(out["corr_mask"][i], batch.gt_src[i],
+                                         batch.gt_tgt[i], batch.gt_valid[i])
                 irs.append(float(ir[i]))
                 board.update({
                     "IR": float(ir[i]),
+                    "PIR": float(pir),
                     "RMSE": float(rmse),
                     "RR": float(rmse < cfg.rmse_threshold),
                     "RRE": float(rre),

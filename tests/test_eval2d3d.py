@@ -135,3 +135,16 @@ class TestFineLoss:
             jnp.asarray(valid), cfg)
         assert float(l_good) < float(l_bad)
         assert float(r_good) == 1.0
+
+
+class TestPatchInlierRatio:
+    def test_pir_counts_gt_hits(self):
+        from diffreg_tpu.engine.tester2d3d import patch_inlier_ratio
+
+        n, m = 6, 6
+        corr = jnp.zeros((n, m), bool).at[0, 0].set(True).at[1, 1].set(True).at[2, 5].set(True)
+        gt_src = jnp.asarray(np.array([0, 1, 2, 0], np.int32))
+        gt_tgt = jnp.asarray(np.array([0, 1, 2, 0], np.int32))
+        gt_valid = jnp.asarray(np.array([True, True, True, False]))
+        pir = patch_inlier_ratio(corr, gt_src, gt_tgt, gt_valid)
+        assert float(pir) == pytest.approx(2 / 3)
