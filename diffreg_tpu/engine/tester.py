@@ -108,6 +108,38 @@ class ThreeDMatchTester:
         return summary
 
 
+def make_metric_points_fn(max_points: int = 2048):
+    """Build a metric_points_fn for FourDMatchTester from raw sample dicts.
+
+    Uses the dataset's ``metric_index`` subset of the raw source cloud
+    (4dmatch lib/tester.py:127-210); falls back to a uniform subset when the
+    entry has none (e.g. synthetic demo pairs). Returns padded
+    (metric_pcd [M,3], metric_flow [M,3], valid [M]).
+    """
+    import numpy as np
+
+    def fn(meta: dict):
+        src = meta.get("src_pcd")
+        flow = meta.get("scene_flow")
+        if src is None or flow is None:
+            return None
+        idx = meta.get("metric_index")
+        if idx is None:
+            idx = np.linspace(0, len(src) - 1, min(len(src), max_points)).astype(np.int64)
+        idx = np.asarray(idx)[:max_points]
+        m = max_points
+        pcd = np.zeros((m, 3), np.float32)
+        fl = np.zeros((m, 3), np.float32)
+        valid = np.zeros(m, bool)
+        n = len(idx)
+        pcd[:n] = src[idx]
+        fl[:n] = flow[idx]
+        valid[:n] = True
+        return pcd, fl, valid
+
+    return fn
+
+
 class FourDMatchTester:
     """IR / NFMR for deformable pairs (4dmatch lib/tester.py:212-285).
 

@@ -146,12 +146,16 @@ def main(argv=None):
                 variables = restored
                 logger.info(f"restored weights from {pretrain}")
         if dataset_name == "4dmatch":
+            from .engine.tester import make_metric_points_fn
+
             tcfg = TestConfig(inlier_thr=0.04,
                               match_thr=args.thr if args.thr is not None else 0.55)
             tester = FourDMatchTester(model, variables, tcfg, logger)
+            tester.test(make_test_iter, rng=rng,
+                        metric_points_fn=make_metric_points_fn())
         else:
             tester = ThreeDMatchTester(model, variables, TestConfig(), logger)
-        tester.test(make_test_iter, rng=rng)
+            tester.test(make_test_iter, rng=rng)
 
 
 def run_2d3d(args, raw, mode, batch_size, dataset_name):

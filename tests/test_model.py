@@ -203,3 +203,31 @@ class TestDiffusion:
         t999 = q_sample(sched, x0, jnp.full((2,), 999, jnp.int32), noise)
         # at t=T-1 nearly all noise
         assert float(jnp.abs(t999 - noise).max()) < 0.35
+
+
+class TestMetricPointsFn:
+    def test_with_metric_index(self, rng):
+        from diffreg_tpu.engine.tester import make_metric_points_fn
+
+        fn = make_metric_points_fn(max_points=64)
+        meta = {"src_pcd": rng.rand(500, 3).astype(np.float32),
+                "scene_flow": rng.rand(500, 3).astype(np.float32) * 0.05,
+                "metric_index": np.arange(40)}
+        pcd, flow, valid = fn(meta)
+        assert pcd.shape == (64, 3) and int(valid.sum()) == 40
+        np.testing.assert_allclose(pcd[:40], meta["src_pcd"][:40])
+
+    def test_fallback_subset(self, rng):
+        from diffreg_tpu.engine.tester import make_metric_points_fn
+
+        fn = make_metric_points_fn(max_points=32)
+        meta = {"src_pcd": rng.rand(100, 3).astype(np.float32),
+                "scene_flow": np.zeros((100, 3), np.float32),
+                "metric_index": None}
+        pcd, flow, valid = fn(meta)
+        assert int(valid.sum()) == 32
+
+    def test_none_without_flow(self):
+        from diffreg_tpu.engine.tester import make_metric_points_fn
+
+        assert make_metric_points_fn()({"src_pcd": None, "scene_flow": None}) is None
