@@ -135,7 +135,6 @@ def main(argv=None):
         trainer.train()
     else:
         variables = model.init({"params": rng}, probe_batch, rng, mode="train")
-        # TODO(weights): restore converted reference checkpoint when provided
         pretrain = raw.get("pretrain", "")
         if pretrain and os.path.exists(pretrain):
             from .engine.checkpoint import CheckpointManager
@@ -145,6 +144,15 @@ def main(argv=None):
             if restored is not None:
                 variables = restored
                 logger.info(f"restored weights from {pretrain}")
+            else:
+                logger.warning(
+                    f"pretrain={pretrain!r} yielded no restorable checkpoint — "
+                    "metric run uses RANDOM weights; numbers are meaningless")
+        elif not demo:
+            raise SystemExit(
+                f"refusing a metric run on real data with random weights: "
+                f"pretrain={pretrain!r} not found. Pass a valid 'pretrain' in "
+                "the config, or use --demo for a synthetic smoke run.")
         if dataset_name == "4dmatch":
             from .engine.tester import make_metric_points_fn
 
@@ -186,6 +194,8 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         sample_steps=int(raw.get("SAMPLE_STEP", 10)),
         use_dino=bool(m.get("use_dino", False)),
         use_mono_depth=bool(m.get("use_mono_depth", False)),
+        procrustes_max_condition=float(
+            raw.get("procrustes", {}).get("max_condition_num", 200.0)),
     )
     model = DiffReg2D3D(cfg)
 
@@ -266,6 +276,20 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         return
 
     variables = model.init({"params": rng}, probe, rng, mode="train")
+    pretrain = raw.get("pretrain", "")
+    if pretrain and os.path.exists(pretrain):
+        from .engine.checkpoint import CheckpointManager
+
+        restored = CheckpointManager(pretrain).restore(variables)
+        if restored is not None:
+            variables = restored
+            logger.info(f"restored weights from {pretrain}")
+        else:
+            logger.warning("pretrain restore failed — metric run uses RANDOM weights")
+    elif not demo:
+        raise SystemExit(
+            f"refusing a metric run on real data with random weights: "
+            f"pretrain={pretrain!r} not found (use --demo for a smoke run)")
     tester = TwoDThreeDTester(
         model, variables,
         Test2D3DConfig(

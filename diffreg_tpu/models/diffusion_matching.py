@@ -209,7 +209,10 @@ class DiffusionMatchingModel(nn.Module):
         def body(mdl, x, scan_in):
             # NOTE: runs under nn.scan — module calls share broadcast params.
             step_idx, time, time_next = scan_in
-            x = x - jnp.min(x, axis=(1, 2), keepdims=True)
+            if cfg.variant != "4dmatch":
+                # per-step min-shift exists only in the 3dmatch loop
+                # (3dmatch pipeline.py:239; absent from 4dmatch pipeline.py:160-190)
+                x = x - jnp.min(x, axis=(1, 2), keepdims=True)
             src_warped, t_pcd_w, _, _ = mdl._warp_from_noisy_matrix(
                 x, s_pcd, t_pcd, src_mask, tgt_mask)
             x_start, _ = mdl._denoise(

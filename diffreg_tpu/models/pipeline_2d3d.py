@@ -88,7 +88,8 @@ class Pipeline2D3DConfig:
     sample_steps: int = 10          # SAMPLE_STEP (=50 rgbdv2, =10 7scenes)
     ddim_eta: float = 1.0
     procrustes_sample_rate: float = 1.0
-    procrustes_max_condition: float = 0.0
+    # reference 2d3d config.py:129 (_C.procrustes.max_condition_num = 200)
+    procrustes_max_condition: float = 200.0
     use_dino: bool = False
     use_mono_depth: bool = False
     fine_topk: int = 2

@@ -34,8 +34,14 @@ KPFCN_ARCHITECTURE = (
 
 
 def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
-                   first_feats_dim: int = 256) -> PipelineConfig:
-    """3DMatch/3DLoMatch rigid registration (configs/test/3dmatch.yaml)."""
+                   first_feats_dim: int = 256, train: bool = False) -> PipelineConfig:
+    """3DMatch/3DLoMatch rigid registration (configs/test/3dmatch.yaml).
+
+    ``train=True`` enables the condition gate at 200 like the reference
+    train config (Diff-Reg-3dmatch/configs/train/3dmatch.yaml:52) so the
+    repositioning warp is active; the test config keeps 0 (identity warp,
+    configs/test/3dmatch.yaml:51).
+    """
     matching = MatchingConfig(
         feature_dim=feature_dim,
         match_type="sinkhorn",
@@ -45,7 +51,7 @@ def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
     )
     procrustes = ProcrustesConfig(
         sample_rate=1.0,
-        max_condition_num=0.0,          # yaml: gate rejects everything -> identity warp
+        max_condition_num=200.0 if train else 0.0,
         use_masked_lengths=False,       # 3dmatch uses padded lengths (procrustes.py:61-62)
     )
     transformer = TransformerConfig(
@@ -85,9 +91,14 @@ def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
 def preset_4dmatch(sample_steps: int = 20, thr: float = 0.55) -> PipelineConfig:
     """4DMatch/4DLoMatch deformable registration (4dmatch twin deltas,
     SURVEY.md §2.1): gaussian+sigmoid noising, stochastic DDIM, masked-length
-    procrustes, sigmoid prediction head with thr-based extraction."""
+    procrustes, sigmoid prediction head with thr-based extraction.
+
+    max_condition_num=40 for BOTH train and test
+    (Diff-Reg-4dmatch/configs/{test,train}/4dmatch.yaml:53) — the
+    repositioning warp is live in 4DMatch inference, unlike 3DMatch test."""
     base = preset_3dmatch(sample_steps=sample_steps)
-    procrustes = dataclasses.replace(base.procrustes, use_masked_lengths=True)
+    procrustes = dataclasses.replace(
+        base.procrustes, use_masked_lengths=True, max_condition_num=40.0)
     transformer = dataclasses.replace(base.coarse_transformer, procrustes=procrustes)
     return dataclasses.replace(
         base,

@@ -106,6 +106,9 @@ class Logger:
             with open(os.path.join(self.log_dir, "log.txt"), "a") as f:
                 f.write(line + "\n")
 
+    def warning(self, msg: str):
+        self.info(f"WARNING: {msg}")
+
     def metrics(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         clean = {}
         for k, v in metrics.items():
