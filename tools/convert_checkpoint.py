@@ -22,7 +22,10 @@ Run:  python tools/convert_checkpoint.py <model.pth> <out_dir> [--config cfg.yam
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def torch_to_flax_dense(w):
@@ -141,13 +144,60 @@ def unflatten(flat: dict) -> dict:
     return tree
 
 
+# torch parameters with no counterpart in the flax forward graph: the
+# reference checkpoint stores the FULL decoder (the live path stops at the
+# coarse tap after decoder block 1, backbone.py:151-160), the never-applied
+# tgt_proj (matching.py:173-174 applies src_proj to both sides), and the
+# fine-phase heads. Dropping them loses nothing — they receive no gradient
+# signal through the live loss either.
+KNOWN_DEAD_PREFIXES = (
+    "backbone/coarse_in/",
+    "backbone/fine_out/",
+    "backbone/dec2_", "backbone/dec3_", "backbone/dec4_", "backbone/dec5_",
+)
+KNOWN_DEAD_SUFFIXES = ("/tgt_proj/kernel", "/tgt_proj/bias")
+
+
+def graft_into_variables(variables, params_flat, buffers_flat):
+    """Graft converted arrays into a flax ``variables`` tree.
+
+    Returns (new_variables, dropped) where ``dropped`` lists converted keys
+    with no slot in the target tree. Raises if a target parameter has no
+    converted source or a shape mismatches — a conversion bug, never OK.
+    """
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    out = dict(variables)
+    dropped = []
+    for col, flat_src in (("params", params_flat), ("buffers", buffers_flat)):
+        tgt = {"/".join(k): v for k, v in flatten_dict(dict(variables.get(col, {}))).items()}
+        missing = sorted(set(tgt) - set(flat_src))
+        if missing:
+            raise ValueError(f"{col}: no converted source for {missing[:8]}"
+                             f" (+{max(0, len(missing) - 8)} more)")
+        new_flat = {}
+        for key, cur in tgt.items():
+            arr = jnp.asarray(flat_src[key], dtype=cur.dtype)
+            if tuple(arr.shape) != tuple(cur.shape):
+                raise ValueError(f"{col}/{key}: shape {arr.shape} != {cur.shape}")
+            new_flat[key] = arr
+        dropped += [k for k in flat_src if k not in tgt]
+        out[col] = unflatten_dict({tuple(k.split("/")): v for k, v in new_flat.items()})
+    unexpected = [k for k in dropped
+                  if not (k.startswith(KNOWN_DEAD_PREFIXES) or k.endswith(KNOWN_DEAD_SUFFIXES))]
+    if unexpected:
+        raise ValueError(f"converted keys with no target slot and not known-dead: {unexpected}")
+    return out, dropped
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoint")
     ap.add_argument("out_dir")
+    ap.add_argument("--variant", default="3dmatch", choices=["3dmatch", "4dmatch"])
     args = ap.parse_args()
 
-    import numpy as np
     import torch
 
     from diffreg_tpu.models.presets import KPFCN_ARCHITECTURE
@@ -159,14 +209,26 @@ def main():
     params_flat, buffers_flat = convert_state_dict(sd, KPFCN_ARCHITECTURE)
     print(f"converted {len(params_flat)} param tensors, {len(buffers_flat)} buffers")
 
-    import orbax.checkpoint as ocp
+    # init the target model so the saved tree matches what main.py restores
+    import jax
 
-    tree = {"params": unflatten(params_flat), "buffers": unflatten(buffers_flat)}
-    ckptr = ocp.StandardCheckpointer()
-    import os
+    from diffreg_tpu.data import synthetic_batch
+    from diffreg_tpu.engine.checkpoint import CheckpointManager
+    from diffreg_tpu.models import DiffusionMatchingModel
+    from diffreg_tpu.models.presets import preset_3dmatch, preset_4dmatch
 
-    ckptr.save(os.path.abspath(args.out_dir), tree, force=True)
-    print(f"saved to {args.out_dir}")
+    cfg = preset_3dmatch() if args.variant == "3dmatch" else preset_4dmatch()
+    model = DiffusionMatchingModel(cfg)
+    batch, _, _ = synthetic_batch(batch_size=1, n_points=256, seed=0)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng}, batch, rng, mode="train")
+    variables, dropped = graft_into_variables(variables, params_flat, buffers_flat)
+    print(f"grafted; dropped {len(dropped)} known-dead reference params")
+
+    mgr = CheckpointManager(args.out_dir)
+    mgr.save(0, variables)
+    mgr.close()
+    print(f"saved to {args.out_dir} (CheckpointManager step 0)")
 
 
 if __name__ == "__main__":
