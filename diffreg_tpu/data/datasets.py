@@ -133,46 +133,68 @@ class FourDMatchPairDataset:
 
 
 def iterate_batches(dataset, spec, pyr_cfg, batch_size: int, *, shuffle=False,
-                    seed=0, drop_last=False) -> Iterator:
+                    seed=0, drop_last=False, num_workers: int = 1,
+                    prefetch: int = 2, stats: Optional[dict] = None) -> Iterator:
     """Host loader: pyramid-build each pair, group into PairBatches.
 
     ``spec`` may be one ShapeSpec or a list of buckets (small -> large):
     each pair lands in the smallest bucket it fits; one batch is emitted per
     bucket as it fills, so XLA compiles one program per bucket (the TPU
     answer to ragged pair sizes, SURVEY.md §7 "bucketed padding").
+
+    ``num_workers`` > 1 builds pyramids in a thread pool (the C++ kernels
+    and numpy release the GIL) — the reference's ``num_workers: 8``
+    equivalent (datasets/dataloader.py:600-636); ``prefetch`` batches are
+    built ahead of the consumer. ``stats`` (optional dict) receives
+    ``pairs_dropped`` / ``pairs_used`` counts — dropped pairs overflowed
+    every bucket and are NOT silent anymore.
     """
+    from .loader import parallel_map_iter, prefetch_iter
     from .pyramid import batch_from_samples, build_pair_pyramid
 
     specs = list(spec) if isinstance(spec, (list, tuple)) else [spec]
+    if stats is None:
+        stats = {}
+    stats.setdefault("pairs_dropped", 0)
+    stats.setdefault("pairs_used", 0)
 
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
 
-    bufs = {id(s): [] for s in specs}
-    metas = {id(s): [] for s in specs}
-    for i in order:
+    def build_one(i):
         raw = dataset[int(i)]
-        sample = None
-        used = None
         for s in specs:
             try:
                 sample = build_pair_pyramid(
                     raw["src_pcd"], raw["tgt_pcd"], raw["rot"], raw["trn"],
                     pyr_cfg, s, scene_flow=raw.get("scene_flow"),
                     gt_cov=raw.get("gt_cov"))
-                used = s
-                break
+                return sample, s, raw
             except ValueError:
                 continue
-        if sample is None:
-            continue  # overflows the largest bucket
-        bufs[id(used)].append(sample)
-        metas[id(used)].append(raw)
-        if len(bufs[id(used)]) == batch_size:
-            yield batch_from_samples(bufs[id(used)]), metas[id(used)]
-            bufs[id(used)], metas[id(used)] = [], []
-    if not drop_last:
-        for s in specs:
-            if bufs[id(s)]:
-                yield batch_from_samples(bufs[id(s)]), metas[id(s)]
+        return None, None, raw
+
+    def batches():
+        bufs = {id(s): [] for s in specs}
+        metas = {id(s): [] for s in specs}
+        for sample, used, raw in parallel_map_iter(build_one, order,
+                                                   num_workers=num_workers):
+            if sample is None:
+                stats["pairs_dropped"] += 1
+                continue  # overflows the largest bucket (now counted)
+            stats["pairs_used"] += 1
+            bufs[id(used)].append(sample)
+            metas[id(used)].append(raw)
+            if len(bufs[id(used)]) == batch_size:
+                yield batch_from_samples(bufs[id(used)]), metas[id(used)]
+                bufs[id(used)], metas[id(used)] = [], []
+        if not drop_last:
+            for s in specs:
+                if bufs[id(s)]:
+                    yield batch_from_samples(bufs[id(s)]), metas[id(s)]
+
+    it = batches()
+    if num_workers > 1 and prefetch > 0:
+        it = prefetch_iter(it, buffer_size=prefetch)
+    yield from it

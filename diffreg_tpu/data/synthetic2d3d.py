@@ -46,7 +46,11 @@ def _pyramid_3lvl(points, caps, ks, radius0):
 
 
 def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
-                         coarse_stride=8, n_gt=64, as_jnp=True):
+                         coarse_stride=8, n_gt=64, as_jnp=True,
+                         with_full_gt=False, n_overlap=256, n_fine_gt=64,
+                         gt_radius_3d=0.05):
+    """``with_full_gt`` additionally builds the overlap-ratio pairs and the
+    fine pixel<->point GT via the real collate helpers (collate2d3d)."""
     import jax.numpy as jnp
 
     from ..models.pipeline_2d3d import Batch2D3D
@@ -116,10 +120,38 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
         pyrs.append((pts, masks, neigh, pools, ups))
         feats_l.append(pad_to(np.ones((len(world_pts), 1), np.float32), caps[0]))
         transforms.append(tfm)
-        gts.append((gt_src, gt_tgt, gt_val))
+
+        if with_full_gt:
+            from .collate2d3d import fine_gt_correspondences, node_patch_overlaps
+
+            ov = node_patch_overlaps(
+                world_pts, nodes, cam_pts, valid, tfm, intrinsics,
+                (h, w), coarse_stride, matching_radius_3d=gt_radius_3d,
+                matching_radius_2d=8.0, num_points_in_patch=32,
+                max_pairs=n_overlap)
+            fine = fine_gt_correspondences(
+                cam_pts, valid, world_pts, tfm, intrinsics, (h, w),
+                n_fine_gt, matching_radius_3d=gt_radius_3d,
+                matching_radius_2d=8.0, rng=rng)
+            gts.append((gt_src, gt_tgt, gt_val, ov, fine))
+        else:
+            gts.append((gt_src, gt_tgt, gt_val))
 
     conv = (lambda a: jnp.asarray(np.stack(a))) if as_jnp else (lambda a: np.stack(a))
     stack_lvl = lambda i, part: conv([p[part][i] for p in pyrs])
+
+    extra = {}
+    if with_full_gt:
+        extra = {
+            "ov_src": conv([g[3][0] for g in gts]),
+            "ov_tgt": conv([g[3][1] for g in gts]),
+            "ov_min": conv([g[3][2] for g in gts]),
+            "ov_max": conv([g[3][3] for g in gts]),
+            "ov_valid": conv([g[3][4] for g in gts]),
+            "fine_pixels": conv([g[4][0] for g in gts]),
+            "fine_pcd_idx": conv([g[4][1] for g in gts]),
+            "fine_valid": conv([g[4][2] for g in gts]),
+        }
 
     return Batch2D3D(
         image=conv(images),
@@ -136,4 +168,5 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
         gt_src=conv([g[0] for g in gts]),
         gt_tgt=conv([g[1] for g in gts]),
         gt_valid=conv([g[2] for g in gts]),
+        **extra,
     )

@@ -112,7 +112,9 @@ def fine_matching_loss(
     v = valid[:, None] & valid[None, :]
     pos = (d3 < cfg.positive_radius_3d) & (d2 < cfg.positive_radius_2d) & v
     neg = ((d3 > cfg.negative_radius_3d) | (d2 > cfg.negative_radius_2d)) & v
-    fdist = jnp.sqrt(pairwise_distance(img_feats, pcd_feats) + 1e-12)
+    # reference uses SQUARED distances of (normalized) features here
+    # (loss.py:205 pairwise_distance(..., normalized=False) -> squared)
+    fdist = pairwise_distance(img_feats, pcd_feats, squared=True)
     loss = circle_loss(fdist, pos, neg, cfg.circle,
                        row_valid=valid, col_valid=valid)
 
@@ -124,28 +126,85 @@ def fine_matching_loss(
     return loss, recall
 
 
-def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
-              overlaps=None):
-    """Total 2D-3D training loss for one batch (batch looped via vmap/mean).
+def scatter_overlaps(src, tgt, values, valid, n, m):
+    """Scatter padded (node, patch, value) pair lists to a dense [N, M]
+    matrix (reference loss.py:40-47 index assignment)."""
+    def one(s, t, v, ok):
+        mat = jnp.zeros((n, m), values.dtype)
+        return mat.at[jnp.where(ok, s, n), jnp.where(ok, t, m)].set(v, mode="drop")
 
-    outputs: dict from DiffReg2D3D train mode. ``overlaps`` [B, N, M] dense
-    GT patch overlap (falls back to the binary GT matrix when overlap ratios
-    are unavailable).
+    return jax.vmap(one)(src, tgt, values, valid)
+
+
+def fine_loss_from_batch(outputs, batch, cfg: FineLossConfig):
+    """Gather fine GT pairs from the batch and run the fine circle loss
+    (reference FineMatchingLoss.forward, loss.py:158-215): image features
+    at the GT pixels, point features at the GT indices, cloud points mapped
+    into the camera frame and rendered to pixels."""
+    from ..ops.vision import render
+
+    img_feats_f = outputs["img_feats_f"]    # [B, H, W, C]
+    pcd_feats_f = outputs["pcd_feats_f"]    # [B, N0, C]
+    b, h, w, c = img_feats_f.shape
+
+    def norm(x):
+        return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8, None)
+
+    def one(imf, pcf, img_points, pts0, tfm, K, pix, pidx, valid):
+        img_sel_feats = norm(imf[pix[:, 0], pix[:, 1]])
+        img_sel_points = img_points[pix[:, 0] * w + pix[:, 1]]
+        pcd_sel_feats = norm(pcf[pidx])
+        pts_cam = pts0 @ tfm[:3, :3].T + tfm[:3, 3]
+        pcd_sel_points = pts_cam[pidx]
+        pcd_sel_pixels, _, _ = render(pcd_sel_points, K, rounding=False)
+        return fine_matching_loss(
+            img_sel_feats, img_sel_points, pix.astype(jnp.float32),
+            pcd_sel_feats, pcd_sel_points, pcd_sel_pixels, valid, cfg)
+
+    losses, recalls = jax.vmap(one)(
+        img_feats_f, pcd_feats_f, batch.img_points, batch.points[0],
+        batch.transform, batch.intrinsics,
+        batch.fine_pixels, batch.fine_pcd_idx, batch.fine_valid)
+    return jnp.mean(losses), jnp.mean(recalls)
+
+
+def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
+              batch=None, fine_cfg: FineLossConfig | None = None,
+              weight_coarse: float = 1.0, weight_fine: float = 1.0):
+    """Total 2D-3D training loss for one batch.
+
+    Reference parity (OverallLoss, loss.py:226-238): the total is
+    ``weight_c * (circle + gt_hat_focal) + weight_f * fine``; the plain
+    focal on conf_matrix_pred is computed for logging only (the reference
+    computes but does not include it). Circle-loss positives come from the
+    MIN overlap ratio (> positive_overlap, sqrt-scaled) and negatives from
+    the MAX overlap ratio (< negative_overlap) scattered densely
+    (loss.py:40-47); when the batch lacks overlap pairs, the binary GT
+    matrix is used for both (degraded mode, synthetic tests only).
     """
     matrix_gt = outputs["matrix_gt"]
     valid = outputs["node_masks"][:, :, None] & outputs["img_valid_c"][:, None, :]
-    if overlaps is None:
-        overlaps = matrix_gt
+    n, m = matrix_gt.shape[1], matrix_gt.shape[2]
 
-    def one(pcd_f, img_f, ov, nm, iv):
+    if batch is not None and getattr(batch, "ov_valid", None) is not None:
+        min_ov = scatter_overlaps(batch.ov_src, batch.ov_tgt, batch.ov_min,
+                                  batch.ov_valid, n, m)
+        max_ov = scatter_overlaps(batch.ov_src, batch.ov_tgt, batch.ov_max,
+                                  batch.ov_valid, n, m)
+    else:
+        min_ov = max_ov = matrix_gt
+
+    def one(pcd_f, img_f, mn, mx, nm, iv):
         dists = normalized_feat_dists(pcd_f, img_f)
-        pos, neg, scales = overlap_masks(ov, circle_cfg)
+        pos = mn > circle_cfg.positive_overlap
+        scales = jnp.sqrt(mn * pos.astype(mn.dtype))
+        neg = mx < circle_cfg.negative_overlap
         v = nm[:, None] & iv[None, :]
         return circle_loss(dists, pos & v, neg & v, circle_cfg, scales,
                            row_valid=nm, col_valid=iv)
 
     l_circle = jnp.mean(jax.vmap(one)(
-        outputs["pcd_feats_c"], outputs["img_feats_c"], overlaps,
+        outputs["pcd_feats_c"], outputs["img_feats_c"], min_ov, max_ov,
         outputs["node_masks"], outputs["img_valid_c"]))
 
     l_focal = focal_correspondence_loss(
@@ -153,6 +212,12 @@ def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
     l_gt_hat = focal_correspondence_loss(
         outputs["conf_matrix_gt_hat"], matrix_gt, valid, focal_cfg)
 
-    total = l_circle + l_focal + l_gt_hat
-    return total, {"circle": l_circle, "focal": l_focal,
-                   "gt_hat": l_gt_hat, "loss": total}
+    info = {"circle": l_circle, "focal": l_focal, "gt_hat": l_gt_hat}
+    total = weight_coarse * (l_circle + l_gt_hat)
+    if fine_cfg is not None and batch is not None \
+            and getattr(batch, "fine_valid", None) is not None:
+        l_fine, f_recall = fine_loss_from_batch(outputs, batch, fine_cfg)
+        total = total + weight_fine * l_fine
+        info.update({"fine": l_fine, "fine_recall": f_recall})
+    info["loss"] = total
+    return total, info

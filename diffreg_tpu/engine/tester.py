@@ -35,7 +35,8 @@ class TestConfig:
     registration_thr: float = 0.2    # RR threshold (m)
     ransac_distance_thr: float = 0.05
     ransac_hypotheses: int = 16384
-    num_repeats: int = 1
+    # reference 3DMatch protocol averages 3 runs (lib/tester.py:19-34)
+    num_repeats: int = 3
     match_thr: float = 0.55          # 4DMatch get_match threshold (README.md:25)
     max_corr: int = 1024
     nfmr_recall_thr: float = 0.04
@@ -199,6 +200,7 @@ class FourDMatchTester:
         conf = out["conf_matrix_pred"]
         mask = thresholded_mutual_argmax_mask(conf, self.cfg.match_thr, mutual=True)
         mask = np.asarray(mask & batch.src_mask[:, :, None] & batch.tgt_mask[:, None, :])
+        conf_np = np.asarray(conf)
         s_pcd = np.asarray(out["s_pcd"])
         t_pcd = np.asarray(out["t_pcd"])
         for i, m in enumerate(meta):
@@ -208,12 +210,16 @@ class FourDMatchTester:
             metric_pcd, metric_flow, metric_valid = mp
             rows, cols = np.nonzero(mask[i])
             a = self.cfg.max_corr
+            if len(rows) > a:
+                # keep the highest-confidence anchors, not the first rows
+                order = np.argsort(-conf_np[i][rows, cols])[:a]
+                rows, cols = rows[order], cols[order]
             anchor_src = np.zeros((a, 3), np.float32)
             anchor_tgt = np.zeros((a, 3), np.float32)
             anchor_valid = np.zeros(a, bool)
-            n = min(len(rows), a)
-            anchor_src[:n] = s_pcd[i][rows[:n]]
-            anchor_tgt[:n] = t_pcd[i][cols[:n]]
+            n = len(rows)
+            anchor_src[:n] = s_pcd[i][rows]
+            anchor_tgt[:n] = t_pcd[i][cols]
             anchor_valid[:n] = True
             v = nfmr(jnp.asarray(metric_pcd), jnp.asarray(metric_flow),
                      batch.rot_gt[i], batch.trn_gt[i][:, 0],

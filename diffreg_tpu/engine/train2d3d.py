@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import optax
 
 from .losses import LossConfig
-from .losses2d3d import CircleLossConfig, loss_2d3d
+from .losses2d3d import CircleLossConfig, FineLossConfig, loss_2d3d
 from .train import OptimConfig, TrainState, make_optimizer
 
 
@@ -28,14 +28,16 @@ def create_train_state_2d3d(model, batch, rng, optim_cfg: OptimConfig) -> TrainS
 
 
 def make_train_step_2d3d(model, circle_cfg: CircleLossConfig,
-                         focal_cfg: LossConfig, optim_cfg: OptimConfig) -> Callable:
+                         focal_cfg: LossConfig, optim_cfg: OptimConfig,
+                         fine_cfg: FineLossConfig | None = None) -> Callable:
     tx = make_optimizer(optim_cfg)
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
             out = model.apply({"params": params, "buffers": state.buffers},
                               batch, rng, mode="train")
-            return loss_2d3d(out, circle_cfg, focal_cfg)
+            return loss_2d3d(out, circle_cfg, focal_cfg,
+                             batch=batch, fine_cfg=fine_cfg)
 
         (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         flat = jax.tree.leaves(grads)

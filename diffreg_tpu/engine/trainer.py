@@ -68,7 +68,11 @@ class Trainer:
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.timers.tic("train_step")
                 self.state, info = self.train_step(self.state, batch, step_rng)
-                jax.block_until_ready(info["loss"])
+                # a real device->host readback: block_until_ready is a no-op
+                # on the tunneled backend (ROADMAP.md), so force the loss to
+                # host before stopping the step timer
+                info = {k: (np.asarray(v) if np.ndim(v) == 0 else v)
+                        for k, v in info.items()}
                 self.timers.toc("train_step")
                 board.update({k: v for k, v in info.items()
                               if np.ndim(v) == 0})

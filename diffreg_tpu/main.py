@@ -70,6 +70,7 @@ def main(argv=None):
     data_root = raw.get("data_root", "")
     have_data = bool(data_root) and os.path.exists(data_root)
     demo = args.demo or not have_data
+    loader_stats = {}
     if demo:
         logger.info("demo mode: synthetic pairs (dataset not found)")
 
@@ -104,14 +105,24 @@ def main(argv=None):
             conv_radius=pipeline_cfg.kpfcn.conv_radius,
             coarse_match_radius=float(raw.get("kpfcn_config", {}).get("coarse_match_radius", 0.06)),
         )
-        sample_pairs = [(ds[i]["src_pcd"], ds[i]["tgt_pcd"])
-                        for i in range(min(8, len(ds)))]
+        # calibrate from pairs SPREAD across the dataset (not the first few,
+        # which tend to share a scene) — the reference histograms >=2000
+        # neighborhood samples (datasets/dataloader.py:562-589); each pair
+        # contributes up to 2000 queries per level, and the size maxima need
+        # scene diversity
+        n_calib = min(int(raw.get("calibration_pairs", 24)), len(ds))
+        calib_idx = np.linspace(0, len(ds) - 1, n_calib).astype(int)
+        sample_pairs = [(ds[int(i)]["src_pcd"], ds[int(i)]["tgt_pcd"])
+                        for i in calib_idx]
         spec = calibrate_spec(sample_pairs, pyr_cfg)
-        logger.info(f"calibrated spec: {spec}")
+        logger.info(f"calibrated spec from {n_calib} pairs: {spec}")
+
+        num_workers = int(raw.get("num_workers", 8))
 
         def make_iter(epoch=0):
             return iterate_batches(ds, spec, pyr_cfg, batch_size,
-                                   shuffle=(mode == "train"), seed=epoch)
+                                   shuffle=(mode == "train"), seed=epoch,
+                                   num_workers=num_workers, stats=loader_stats)
 
         make_test_iter = lambda: make_iter(0)
 
@@ -164,6 +175,11 @@ def main(argv=None):
         else:
             tester = ThreeDMatchTester(model, variables, TestConfig(), logger)
             tester.test(make_test_iter, rng=rng)
+    if loader_stats.get("pairs_dropped"):
+        logger.warning(
+            f"{loader_stats['pairs_dropped']} pairs overflowed every bucket "
+            f"and were dropped ({loader_stats['pairs_used']} used) — "
+            "recalibrate with more calibration_pairs or larger headroom")
 
 
 def run_2d3d(args, raw, mode, batch_size, dataset_name):

@@ -69,6 +69,17 @@ class Batch2D3D(NamedTuple):
     gt_src: Optional[jnp.ndarray] = None  # [B, G] coarse GT (node idx)
     gt_tgt: Optional[jnp.ndarray] = None  # [B, G] (patch idx)
     gt_valid: Optional[jnp.ndarray] = None
+    gt_not_val: Optional[jnp.ndarray] = None  # [B] 1.0 when GT never validated
+    # overlap-ratio GT pairs for the circle loss (utils.py:59-173)
+    ov_src: Optional[jnp.ndarray] = None      # [B, Q] node idx
+    ov_tgt: Optional[jnp.ndarray] = None      # [B, Q] patch idx
+    ov_min: Optional[jnp.ndarray] = None      # [B, Q] min overlap ratio
+    ov_max: Optional[jnp.ndarray] = None      # [B, Q] max overlap ratio
+    ov_valid: Optional[jnp.ndarray] = None    # [B, Q]
+    # fine GT pixel<->point pairs for the fine circle loss (loss.py:128-215)
+    fine_pixels: Optional[jnp.ndarray] = None   # [B, M, 2] (v, u) int
+    fine_pcd_idx: Optional[jnp.ndarray] = None  # [B, M]
+    fine_valid: Optional[jnp.ndarray] = None    # [B, M]
 
 
 @dataclasses.dataclass(frozen=True)

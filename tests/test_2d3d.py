@@ -109,6 +109,7 @@ class TestFourier:
 
 
 class TestTraining2D3D:
+    @pytest.mark.slow
     def test_loss_decreases(self, setup_2d3d):
         from diffreg_tpu.engine import LossConfig, OptimConfig
         from diffreg_tpu.engine.losses2d3d import CircleLossConfig
@@ -124,3 +125,39 @@ class TestTraining2D3D:
             losses.append(float(info["loss"]))
             assert bool(info["grads_finite"])
         assert losses[-1] < losses[0], losses
+
+    @pytest.mark.slow
+    def test_full_gt_loss_trains(self):
+        """Overlap-ratio circle GT + fine circle loss: one step, finite
+        grads, all loss terms present (reference OverallLoss parity)."""
+        from diffreg_tpu.engine import LossConfig, OptimConfig
+        from diffreg_tpu.engine.losses2d3d import CircleLossConfig, FineLossConfig
+        from diffreg_tpu.engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
+
+        batch = synthetic_2d3d_batch(batch_size=1, img_hw=(32, 48), n_points=160,
+                                     seed=0, with_full_gt=True, n_overlap=128,
+                                     n_fine_gt=32)
+        assert bool(np.asarray(batch.ov_valid).any())
+        assert bool(np.asarray(batch.fine_valid).any())
+        cfg = Pipeline2D3DConfig(
+            img_out_dim=16, img_base_dim=16,
+            pcd_backbone=PointBackboneConfig(output_dim=16, init_dim=8,
+                                             init_radius=0.1, init_sigma=0.08),
+            hidden_dim=32, output_dim=32, num_heads=2,
+            matching=MatchingConfig(feature_dim=32), sample_steps=1)
+        model = DiffReg2D3D(cfg)
+        ocfg = OptimConfig(optimizer="adam", lr=1e-3)
+        state = create_train_state_2d3d(model, batch, jax.random.PRNGKey(0), ocfg)
+        step = jax.jit(make_train_step_2d3d(
+            model, CircleLossConfig(), LossConfig(), ocfg,
+            fine_cfg=FineLossConfig()))
+        state, info = step(state, batch, jax.random.PRNGKey(1))
+        for k in ("circle", "gt_hat", "fine", "fine_recall", "focal"):
+            assert k in info, k
+        assert bool(info["grads_finite"])
+        assert np.isfinite(float(info["loss"]))
+        # reference total excludes the plain focal term (loss.py:226-238)
+        np.testing.assert_allclose(
+            float(info["loss"]),
+            float(info["circle"]) + float(info["gt_hat"]) + float(info["fine"]),
+            rtol=1e-5)

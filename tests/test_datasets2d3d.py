@@ -20,7 +20,11 @@ def fake_rgbd_root(tmp_path, rng):
     os.makedirs(meta)
 
     h, w = 480, 640
-    depth_m = (rng.rand(h, w) * 2 + 0.5).astype(np.float32)
+    # locally smooth depth (like real sensors): low-res noise upsampled.
+    # Uniform per-pixel random depth makes every patch's enclosing sphere
+    # ~1 m wide and the GT overlap candidate set quadratic.
+    base = (rng.rand(h // 40, w // 40) * 2 + 0.5).astype(np.float32)
+    depth_m = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
     cv2.imwrite(str(data / "depth_000.png"), (depth_m * 1000).astype(np.uint16))
     cv2.imwrite(str(data / "image_000.png"), (rng.rand(h, w, 3) * 255).astype(np.uint8))
     K = np.array([[525.0, 0, 320], [0, 525, 240], [0, 0, 1]])
