@@ -48,9 +48,13 @@ def _pyramid_3lvl(points, caps, ks, radius0):
 def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
                          coarse_stride=8, n_gt=64, as_jnp=True,
                          with_full_gt=False, n_overlap=256, n_fine_gt=64,
-                         gt_radius_3d=0.05):
+                         gt_radius_3d=0.05, with_dino=False, dino_dim=1024,
+                         with_mono_depth=False):
     """``with_full_gt`` additionally builds the overlap-ratio pairs and the
-    fine pixel<->point GT via the real collate helpers (collate2d3d)."""
+    fine pixel<->point GT via the real collate helpers (collate2d3d).
+    ``with_dino`` / ``with_mono_depth`` attach synthetic tower outputs
+    (random DINO patch tokens at stride 14; the true depth as a stand-in
+    DepthAnything map) for exercising the frozen-tower paths end-to-end."""
     import jax.numpy as jnp
 
     from ..models.pipeline_2d3d import Batch2D3D
@@ -67,7 +71,7 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
 
     images, img_points_l, img_valid_l = [], [], []
     pyrs, feats_l, transforms = [], [], []
-    gts = []
+    gts, dinos, monos = [], [], []
 
     for b in range(batch_size):
         # smooth random depth map
@@ -117,6 +121,14 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
         images.append(img[..., None])
         img_points_l.append(cam_pts)
         img_valid_l.append(valid)
+        if with_dino:
+            g14 = (max(1, h // 14), max(1, w // 14))
+            dinos.append(rng.randn(*g14, dino_dim).astype(np.float32) * 0.02)
+        if with_mono_depth:
+            # stand-in DepthAnything output: true depth x 100 (the pipeline
+            # rescales by mono_depth_scale=0.01, so the affine (1, 0) lifts
+            # back to the true camera points)
+            monos.append(depth * 100.0)
         pyrs.append((pts, masks, neigh, pools, ups))
         feats_l.append(pad_to(np.ones((len(world_pts), 1), np.float32), caps[0]))
         transforms.append(tfm)
@@ -141,8 +153,12 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
     stack_lvl = lambda i, part: conv([p[part][i] for p in pyrs])
 
     extra = {}
+    if with_dino:
+        extra["dino_feats"] = conv(dinos)
+    if with_mono_depth:
+        extra["mono_depth"] = conv(monos)
     if with_full_gt:
-        extra = {
+        extra |= {
             "ov_src": conv([g[3][0] for g in gts]),
             "ov_tgt": conv([g[3][1] for g in gts]),
             "ov_min": conv([g[3][2] for g in gts]),

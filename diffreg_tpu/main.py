@@ -210,6 +210,7 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         sample_steps=int(raw.get("SAMPLE_STEP", 10)),
         use_dino=bool(m.get("use_dino", False)),
         use_mono_depth=bool(m.get("use_mono_depth", False)),
+        dino_dim=int(m.get("dino_dim", 1024)),
         procrustes_max_condition=float(
             raw.get("procrustes", {}).get("max_condition_num", 200.0)),
     )
@@ -242,6 +243,22 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
                                        use_augmentation=(mode == "train"))
         spec = Spec2D3D(n_points=(32768, 8192, 2048))
 
+        # frozen towers (converted checkpoints, tools/convert_towers.py)
+        towers = None
+        tw = raw.get("towers", {})
+        if cfg.use_dino or cfg.use_mono_depth:
+            from .models.towers import load_tower_runner
+
+            dino_ckpt = tw.get("dinov2") if cfg.use_dino else None
+            da_ckpt = tw.get("depth_anything") if cfg.use_mono_depth else None
+            bad = (cfg.use_dino and not (dino_ckpt and os.path.exists(dino_ckpt))) \
+                or (cfg.use_mono_depth and not (da_ckpt and os.path.exists(da_ckpt)))
+            if bad:
+                raise SystemExit(
+                    "use_dino/use_mono_depth need converted tower checkpoints: "
+                    f"towers={tw!r} (run tools/convert_towers.py)")
+            towers = load_tower_runner(dino_ckpt, da_ckpt)
+
         def make_iter():
             buf, metas = [], []
             for i in range(len(ds)):
@@ -253,10 +270,17 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
                 for k in ("depth", "image", "image_gray"):
                     raw_s[k] = raw_s[k][:h, :w]
                 try:
-                    buf.append(build_2d3d_sample(raw_s, spec, st))
-                    metas.append(raw_s["scene_name"])
+                    sample = build_2d3d_sample(raw_s, spec, st)
                 except ValueError:
                     continue
+                if towers is not None:
+                    rgb = raw_s["image"][None]
+                    if cfg.use_dino:
+                        sample["dino_feats"] = towers.dino_tokens(rgb)[0]
+                    if cfg.use_mono_depth:
+                        sample["mono_depth"] = towers.mono_depth(rgb)[0]
+                buf.append(sample)
+                metas.append(raw_s["scene_name"])
                 if len(buf) == batch_size:
                     yield batch_2d3d(buf), metas
                     buf, metas = [], []

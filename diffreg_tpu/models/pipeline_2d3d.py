@@ -14,12 +14,14 @@ Re-architecture of the reference MATR2D3D (Diff-Reg-2d3d/experiments/
 Differences by design:
   * batched + static shapes (image patch count fixed by H/8 grid; pcd nodes
     padded); the eval DDIM loop is one nn.scan like the 3D pipeline;
-  * frozen towers (DINOv2 ViT-L / DepthAnything) are optional inputs: the
-    batch carries precomputed `dino_feats` / `mono_depth_points` when a
-    tower is enabled, so the pipeline itself stays tower-agnostic. The
-    towers live in diffreg_tpu/nn/dinov2.py & depth_anything.py with weight
-    converters; without their released weights the config falls back to
-    real-depth patch centers (reference uses DepthAnything centers).
+  * frozen towers (DINOv2 ViT-L / DepthAnything) run OUTSIDE the training
+    graph: the batch carries precomputed `dino_feats` (final patch tokens)
+    and the raw `mono_depth` map. The pipeline owns the trainable pieces —
+    the dino_2_u projection (model.py:249) and the depth affine
+    depth_coffa/b (model.py:273-275) applied in _lift_mono_depth. The
+    towers live in diffreg_tpu/nn/{dinov2,depth_anything,encoders}.py with
+    weight converters (tools/convert_towers.py); without their released
+    weights the config falls back to real-depth patch centers.
 """
 from __future__ import annotations
 
@@ -64,8 +66,9 @@ class Batch2D3D(NamedTuple):
     transform: jnp.ndarray       # [B, 4, 4] cam-from-cloud GT
     intrinsics: jnp.ndarray      # [B, 3, 3]
     # optional tower outputs
-    dino_feats: Optional[jnp.ndarray] = None        # [B, h14, w14, C]
-    mono_depth_points: Optional[jnp.ndarray] = None  # [B, H*W, 3] DA-lifted
+    dino_feats: Optional[jnp.ndarray] = None    # [B, h14, w14, C] final patch tokens
+    mono_depth: Optional[jnp.ndarray] = None    # [B, H, W] raw DepthAnything output;
+    # the pipeline lifts it with its LEARNABLE affine (model.py:273-275, 349)
     gt_src: Optional[jnp.ndarray] = None  # [B, G] coarse GT (node idx)
     gt_tgt: Optional[jnp.ndarray] = None  # [B, G] (patch idx)
     gt_valid: Optional[jnp.ndarray] = None
@@ -103,6 +106,9 @@ class Pipeline2D3DConfig:
     procrustes_max_condition: float = 200.0
     use_dino: bool = False
     use_mono_depth: bool = False
+    dino_dim: int = 1024            # DINOv2 ViT-L patch-token width
+    mono_depth_scale: float = 0.01  # reference feeds image_depth_any/100 (model.py:349)
+    depth_limit: float = 6.0
     fine_topk: int = 2
     fine_threshold: float = 0.75
 
@@ -123,6 +129,18 @@ class DiffReg2D3D(nn.Module):
         self.coarse_matching = Matching(cfg.matching)
         self.denoising_matching = Matching(cfg.matching)
         self.schedule: DiffusionSchedule = make_schedule(cfg.timesteps)
+        if cfg.use_dino:
+            # dino_2_u (model.py:249): project DINO tokens before UNet injection
+            self.dino_proj = nn.Dense(cfg.img_base_dim * 4, name="dino_proj")
+        if cfg.use_mono_depth:
+            # learnable monocular-depth affine z = depth*scale*a + b
+            # (model.py:273-275; the reference creates these as raw
+            # requires_grad tensors that never reach the optimizer — here
+            # they are real params, trainable as intended)
+            self.depth_coffa = self.param(
+                "depth_coffa", lambda _: jnp.ones((1,), jnp.float32))
+            self.depth_coffb = self.param(
+                "depth_coffb", lambda _: jnp.zeros((1,), jnp.float32))
 
     # ------------------------------------------------------------------ #
 
@@ -132,7 +150,10 @@ class DiffReg2D3D(nn.Module):
         hc, wc = h // cfg.coarse_stride, w // cfg.coarse_stride
 
         dino = batch.dino_feats if cfg.use_dino else None
-        img_feats_list = self.img_backbone(batch.image, dino)
+        # UNet injection gets the PROJECTED tokens (dino_2_u, model.py:358);
+        # the fusion module gets the raw 1024-d tokens (model.py:381)
+        dino_ds = self.dino_proj(dino) if cfg.use_dino else None
+        img_feats_list = self.img_backbone(batch.image, dino_ds)
         img_fine = img_feats_list[0]                      # [B, H, W, C]
         img_coarse_map = img_feats_list[-1]               # [B, H/8, W/8, 4C]
 
@@ -185,11 +206,32 @@ class DiffReg2D3D(nn.Module):
             return c, val.any(axis=-1)
 
         real_centers, real_valid = centers_of(batch.img_points, batch.img_valid)
-        if cfg.use_mono_depth and batch.mono_depth_points is not None:
-            da_centers, da_valid = centers_of(batch.mono_depth_points, batch.img_valid)
+        if cfg.use_mono_depth and batch.mono_depth is not None:
+            da_points, da_mask = self._lift_mono_depth(batch)
+            da_centers, da_valid = centers_of(da_points, da_mask)
         else:
             da_centers, da_valid = real_centers, real_valid
         return real_centers, real_valid, da_centers, da_valid
+
+    def _lift_mono_depth(self, batch: Batch2D3D):
+        """DepthAnything map -> pseudo-3D points with the learnable affine
+        (back_project_depth, model.py:849-901): z = depth*scale*a + b,
+        z > depth_limit zeroed, mask = z > 0."""
+        cfg = self.cfg
+        b, h, w, _ = batch.image.shape
+        z = batch.mono_depth.reshape(b, h * w) * cfg.mono_depth_scale
+        z = z * self.depth_coffa + self.depth_coffb
+        z = jnp.where(z > cfg.depth_limit, 0.0, z)
+        fx = batch.intrinsics[:, 0, 0][:, None]
+        fy = batch.intrinsics[:, 1, 1][:, None]
+        cx = batch.intrinsics[:, 0, 2][:, None]
+        cy = batch.intrinsics[:, 1, 2][:, None]
+        grid = create_meshgrid(h, w, flatten=True)       # [HW, 2] (v, u)
+        u = grid[None, :, 1]
+        v = grid[None, :, 0]
+        x = (u - cx) * z / fx
+        y = (v - cy) * z / fy
+        return jnp.stack([x, y, z], axis=-1), z > 0.0
 
     def _warp_nodes(self, x, nodes, centers_da, node_masks, center_masks):
         """Sinkhorn-project noisy matrix, 3D-3D Procrustes pcd-nodes ->

@@ -92,11 +92,15 @@ class DinoVisionTransformer(nn.Module):
     cfg: DinoV2Config
 
     @nn.compact
-    def __call__(self, image, return_layers: Tuple[int, ...] = ()):
+    def __call__(self, image, return_layers: Tuple[int, ...] = (),
+                 norm_taps: bool = False):
         """image: [B, H, W, C] with H, W multiples of patch_size.
 
         Returns (final_tokens [B, h*w, D], per-layer list of patch-token
         grids [B, h, w, D] for requested layers; empty tuple = all layers).
+        ``norm_taps`` applies the final LayerNorm to each tap — torchhub
+        dinov2 ``get_intermediate_layers(..., norm=True)`` semantics, used
+        by the DepthAnything head (depth_anything/dpt.py:152).
         """
         c = self.cfg
         b, hh, ww, _ = image.shape
@@ -119,12 +123,15 @@ class DinoVisionTransformer(nn.Module):
             pos_patch = pos_patch.reshape(1, ph * pw, c.embed_dim)
         x = x + jnp.concatenate([pos_cls, pos_patch], axis=1)
 
+        final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+
         taps: List[jnp.ndarray] = []
         want = set(return_layers) if return_layers else set(range(c.depth))
         for i in range(c.depth):
             x = Block(c, name=f"block{i}")(x)
             if i in want:
-                taps.append(x[:, 1:].reshape(b, ph, pw, c.embed_dim))
+                t = final_norm(x) if norm_taps else x
+                taps.append(t[:, 1:].reshape(b, ph, pw, c.embed_dim))
 
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = final_norm(x)
         return x[:, 1:], taps

@@ -108,6 +108,76 @@ class TestFourier:
         assert emb.shape == (2, 7, 10 * 6 + 3)  # matches pcd_emb_proj input dim
 
 
+class TestFrozenTowerPaths:
+    """use_dino / use_mono_depth end-to-end (VERDICT item 5): only weight
+    files should be missing — the paths themselves run and train."""
+
+    @pytest.mark.slow
+    def test_dino_and_mono_depth_train_and_ddim(self):
+        from diffreg_tpu.engine import LossConfig, OptimConfig
+        from diffreg_tpu.engine.losses2d3d import CircleLossConfig
+        from diffreg_tpu.engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
+
+        dino_dim = 64
+        batch = synthetic_2d3d_batch(batch_size=1, img_hw=(56, 56), n_points=128,
+                                     seed=0, coarse_stride=14,
+                                     with_dino=True, dino_dim=dino_dim,
+                                     with_mono_depth=True)
+        assert batch.dino_feats is not None and batch.mono_depth is not None
+        cfg = Pipeline2D3DConfig(
+            img_out_dim=16, img_base_dim=16,
+            pcd_backbone=PointBackboneConfig(output_dim=16, init_dim=8,
+                                             init_radius=0.1, init_sigma=0.08),
+            hidden_dim=32, output_dim=32, num_heads=2,
+            matching=MatchingConfig(feature_dim=32), sample_steps=1,
+            coarse_stride=14, use_dino=True, use_mono_depth=True,
+            dino_dim=dino_dim,
+            # accept every finite Procrustes solution so the warp (and the
+            # depth-affine gradient) is active at random init — with the
+            # reference gate (200) an ill-conditioned init solution falls
+            # back to identity and coffa correctly gets zero gradient
+            procrustes_max_condition=1e9)
+        model = DiffReg2D3D(cfg)
+        rng = jax.random.PRNGKey(0)
+
+        # the learnable depth affine exists and the train step runs finite
+        ocfg = OptimConfig(optimizer="adam", lr=1e-3)
+        state = create_train_state_2d3d(model, batch, rng, ocfg)
+        assert "depth_coffa" in state.params and "depth_coffb" in state.params
+        step = jax.jit(make_train_step_2d3d(model, CircleLossConfig(),
+                                            LossConfig(), ocfg))
+        state, info = step(state, batch, rng)
+        assert bool(info["grads_finite"])
+        assert np.isfinite(float(info["loss"]))
+
+        # the affine is differentiable through lift -> procrustes -> warp
+        # (through the full focal loss the gradient is ~1e-8 at random init
+        # and underflows f32, so probe the warp directly)
+        rest = {"buffers": state.buffers}
+
+        def warp_probe(params):
+            def run(mdl):
+                hc = wc = 56 // 14
+                nodes = batch.points[-1]
+                _, _, da_centers, da_valid = mdl._patch_centers(batch, hc, wc)
+                x = jax.random.normal(jax.random.PRNGKey(0),
+                                      (1, nodes.shape[1], hc * wc))
+                w = mdl._warp_nodes(x, nodes, da_centers,
+                                    batch.masks[-1], da_valid)
+                return jnp.sum(w)
+            return model.apply({"params": params, **rest}, method=run)
+
+        g = jax.grad(warp_probe)(state.params)
+        assert float(np.abs(np.asarray(g["depth_coffa"]))[0]) > 0.0, \
+            "depth_coffa got no gradient through the warp"
+
+        # ddim + backbone branches run with the towers on
+        variables = {"params": state.params, "buffers": state.buffers}
+        out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))(
+            variables, batch, rng)
+        assert np.isfinite(np.asarray(out["conf_matrix_pred"])).all()
+
+
 class TestTraining2D3D:
     @pytest.mark.slow
     def test_loss_decreases(self, setup_2d3d):

@@ -54,9 +54,77 @@ def convert_dinov2(sd):
     return p
 
 
+def _conv(sd, key, bias=True):
+    """torch Conv2d [O, I, kh, kw] -> flax {'kernel': [kh, kw, I, O], ...}."""
+    import numpy as np
+
+    out = {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))}
+    if bias:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _conv_t(sd, key):
+    """torch ConvTranspose2d [I, O, kh, kw] -> flax ConvTranspose
+    {'kernel': [kh, kw, I, O], ...} (non-overlapping k==s layers)."""
+    import numpy as np
+
+    return {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 0, 1)),
+            "bias": sd[f"{key}.bias"]}
+
+
+def convert_vgg19(sd, prefix="features."):
+    """torchvision vgg19_bn().features[:40] state_dict -> (params,
+    batch_stats) for diffreg_tpu.nn.encoders.VGG19BN.
+
+    torchvision layer indices: convs at 0,3 | 7,10 | 14,17,20,23 |
+    27,30,33,36 with BN at +1 (encoders.py VGG19 uses features[:40])."""
+    conv_idx = (0, 3, 7, 10, 14, 17, 20, 23, 27, 30, 33, 36)
+    params, stats = {}, {}
+    for li, ti in enumerate(conv_idx):
+        params[f"conv{li}"] = _conv(sd, f"{prefix}{ti}")
+        params[f"bn{li}"] = {"scale": sd[f"{prefix}{ti + 1}.weight"],
+                             "bias": sd[f"{prefix}{ti + 1}.bias"]}
+        stats[f"bn{li}"] = {"mean": sd[f"{prefix}{ti + 1}.running_mean"],
+                            "var": sd[f"{prefix}{ti + 1}.running_var"]}
+    return params, stats
+
+
+def convert_dpt_head(sd, prefix="depth_head."):
+    """DepthAnything DPTHead state_dict -> flax params for
+    diffreg_tpu.nn.depth_anything.DPTHead (dpt.py:22-135 layout)."""
+    p = {}
+    for i in range(4):
+        p[f"project{i}"] = _conv(sd, f"{prefix}projects.{i}")
+        p[f"rn{i}"] = _conv(sd, f"{prefix}scratch.layer{i + 1}_rn", bias=False)
+    p["resize0"] = _conv_t(sd, f"{prefix}resize_layers.0")
+    p["resize1"] = _conv_t(sd, f"{prefix}resize_layers.1")
+    p["resize3"] = _conv(sd, f"{prefix}resize_layers.3")
+    for i in range(1, 5):
+        r = f"{prefix}scratch.refinenet{i}"
+        p[f"fusion{i}"] = {
+            "rcu1": {"conv1": _conv(sd, f"{r}.resConfUnit1.conv1"),
+                     "conv2": _conv(sd, f"{r}.resConfUnit1.conv2")},
+            "rcu2": {"conv1": _conv(sd, f"{r}.resConfUnit2.conv1"),
+                     "conv2": _conv(sd, f"{r}.resConfUnit2.conv2")},
+            "out_conv": _conv(sd, f"{r}.out_conv"),
+        }
+    p["head_conv1"] = _conv(sd, f"{prefix}scratch.output_conv1")
+    p["head_conv2"] = _conv(sd, f"{prefix}scratch.output_conv2.0")
+    p["head_conv3"] = _conv(sd, f"{prefix}scratch.output_conv2.2")
+    return p
+
+
+def convert_depth_anything(sd):
+    """Full DepthAnything (DPT_DINOv2) -> {'encoder': ..., 'head': ...}."""
+    enc = {k[len("pretrained."):]: v for k, v in sd.items()
+           if k.startswith("pretrained.")}
+    return {"encoder": convert_dinov2(enc), "head": convert_dpt_head(sd)}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("kind", choices=["dinov2", "depth_anything"])
+    ap.add_argument("kind", choices=["dinov2", "depth_anything", "vgg19"])
     ap.add_argument("checkpoint")
     ap.add_argument("out_dir")
     args = ap.parse_args()
@@ -71,13 +139,11 @@ def main():
 
     if args.kind == "dinov2":
         params = convert_dinov2(sd)
+    elif args.kind == "vgg19":
+        p, stats = convert_vgg19(sd)
+        params = {"params": p, "batch_stats": stats}
     else:
-        enc = {k[len("pretrained."):]: v for k, v in sd.items()
-               if k.startswith("pretrained.")}
-        params = {"encoder": convert_dinov2(enc)}
-        # DPT head mapping is checkpoint-layout dependent; extend as needed.
-        print("NOTE: depth head conversion covers the encoder; head mapping "
-              "must be matched against the specific release layout.")
+        params = convert_depth_anything(sd)
 
     import orbax.checkpoint as ocp
 
