@@ -145,7 +145,9 @@ def soft_procrustes(
     entry_max = jnp.floor(jnp.maximum(src_len, tgt_len) * sample_rate).astype(jnp.int32)
 
     flat = conf_matrix.reshape(b, n * m)
-    w, idx = jax.lax.top_k(flat, k)  # [B, k]
+    from ..ops.topk import fast_top_k
+
+    w, idx = fast_top_k(flat, k)  # [B, k] (approx on TPU; ops/topk.py)
     idx_src = idx // m
     idx_tgt = idx % m
 

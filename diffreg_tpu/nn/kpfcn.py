@@ -20,7 +20,7 @@ Batched: every array has a leading batch axis; the functional ops are vmapped.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,11 @@ class KPFCNConfig:
     batch_norm_momentum: float = 0.02
     coarse_feature_dim: int = 432
     fine_feature_dim: int = 264
+    # opt-in Pallas fused conv (parity-tested; slower than XLA on v5e —
+    # see ops.kpconv.kpconv_batched)
+    use_pallas_kpconv: bool = False
+    # 'bfloat16' halves conv gather/contraction traffic (f32 accumulation)
+    compute_dtype: Optional[str] = None
     coarse_level: int = -2
 
 
@@ -109,12 +114,14 @@ class KPConvLayer(nn.Module):
         )
         kp = self.variable("buffers", "kernel_points", lambda: jnp.asarray(kp_init))
 
-        conv = jax.vmap(
-            _kpconv,
-            in_axes=(0, 0, 0, 0, None, None, None, None, None),
-        )
-        return conv(q_pts, s_pts, neighb_inds, x, kp.value, weights, self.extent,
-                    self.cfg.kp_influence, self.cfg.aggregation_mode)
+        from ..ops.kpconv import kpconv_batched
+
+        return kpconv_batched(
+            q_pts, s_pts, neighb_inds, x, kp.value, weights, self.extent,
+            self.cfg.kp_influence, self.cfg.aggregation_mode,
+            use_pallas=self.cfg.use_pallas_kpconv,
+            compute_dtype=(jnp.dtype(self.cfg.compute_dtype)
+                           if self.cfg.compute_dtype else None))
 
 
 class SimpleBlock(nn.Module):

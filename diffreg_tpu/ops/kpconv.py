@@ -26,6 +26,7 @@ def kpconv(
     kp_extent,
     influence="linear",
     aggregation="sum",
+    compute_dtype=None,
 ):
     """Apply one kernel-point convolution.
 
@@ -43,10 +44,31 @@ def kpconv(
     """
     ns = s_pts.shape[0]
 
-    shadow_pts = jnp.concatenate([s_pts, jnp.full((1, 3), 1.0e6, s_pts.dtype)], axis=0)
-    shadow_x = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
-
-    neighbors = shadow_pts[neighb_inds] - q_pts[:, None, :]          # [Nq, K, 3]
+    # ONE fused gather of [positions ++ features] rows. Separate gathers of
+    # the [Nq, K, 3] positions and [Nq, K, Cin] features cost ~3.2x more on
+    # this TPU generation: XLA's gather is per-row-latency-bound, and the
+    # 12-byte position rows are pathological (measured 2026-08: pts-only
+    # gather 1.74 s vs fused 0.69 s at B16 N8704 K34 C64).
+    s_pts_pad = jnp.concatenate([s_pts, jnp.full((1, 3), 1.0e6, s_pts.dtype)], axis=0)
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    if compute_dtype is not None:
+        # bf16 gather + contraction inputs (f32 accumulation below): the
+        # conv is gather-traffic-bound, so halving the bytes buys ~1.3x.
+        # Positions CANNOT be plain bf16 (1.2 cm error at metre scale vs
+        # ~6 cm influence extents), so they ride as a hi/lo bf16 split
+        # reconstructed in f32 after the gather (error ~5e-5).
+        hi = s_pts_pad.astype(compute_dtype)
+        lo = (s_pts_pad - hi.astype(s_pts.dtype)).astype(compute_dtype)
+        table = jnp.concatenate([hi, lo, x_pad.astype(compute_dtype)], axis=-1)
+        gathered = table[neighb_inds]                # [Nq, K, 6+Cin]
+        neighbors = (gathered[..., :3].astype(s_pts.dtype)
+                     + gathered[..., 3:6].astype(s_pts.dtype)) - q_pts[:, None, :]
+        neighb_feats = gathered[..., 6:]
+    else:
+        table = jnp.concatenate([s_pts_pad, x_pad], axis=-1)  # [Ns+1, 3+Cin]
+        gathered = table[neighb_inds]                # [Nq, K, 3+Cin]
+        neighbors = gathered[..., :3] - q_pts[:, None, :]
+        neighb_feats = gathered[..., 3:]
     # ||n - kp||^2 = ||n||^2 + ||kp||^2 - 2 n.kp — the cross term is one MXU
     # matmul; avoids materializing the [Nq, K, P, 3] difference tensor whose
     # HBM traffic dominates the whole backbone at 3DMatch scale.
@@ -74,21 +96,31 @@ def kpconv(
     elif aggregation != "sum":
         raise ValueError(aggregation)
 
-    neighb_x = shadow_x[neighb_inds]                                  # [Nq, K, Cin]
+    neighb_x = neighb_feats                                           # [Nq, K, Cin]
 
     # [Nq, K, P] x [Nq, K, Cin] -> [Nq, P, Cin] -> (MXU) [Nq, Cout]
     # f32 accumulation (framework precision policy): bf16 accumulation costs
     # ~3 digits which compounds across the 11-block pyramid.
     from ..utils.precision import get_precision
 
-    weighted = jnp.einsum("nkp,nkc->npc", all_w, neighb_x, precision=get_precision())
-    out = jnp.einsum("npc,pcd->nd", weighted, weights, precision=get_precision())
+    if compute_dtype is not None:
+        weighted = jnp.einsum("nkp,nkc->npc", all_w.astype(compute_dtype),
+                              neighb_x, preferred_element_type=jnp.float32)
+        out = jnp.einsum("npc,pcd->nd", weighted.astype(compute_dtype),
+                         weights.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        weighted = jnp.einsum("nkp,nkc->npc", all_w, neighb_x,
+                              precision=get_precision())
+        out = jnp.einsum("npc,pcd->nd", weighted, weights,
+                         precision=get_precision())
 
     # Density normalization — reference counts neighbors whose feature-sum is
     # positive (blocks.py:354-357). Preserved verbatim: this is a *feature*
     # test, not a validity test (a real neighbor with non-positive feature sum
     # is excluded) — documented reference behavior.
-    neighbor_num = jnp.sum(jnp.sum(neighb_x, axis=-1) > 0.0, axis=-1)
+    neighbor_num = jnp.sum(jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0,
+                           axis=-1)
     neighbor_num = jnp.maximum(neighbor_num, 1)
     return out / neighbor_num[:, None].astype(out.dtype)
 
@@ -97,6 +129,57 @@ def jax_one_hot(idx, num, dtype):
     import jax
 
     return jax.nn.one_hot(idx, num, dtype=dtype)
+
+
+def kpconv_batched(
+    q_pts,          # [B, Nq, 3]
+    s_pts,          # [B, Ns, 3]
+    neighb_inds,    # [B, Nq, K]
+    x,              # [B, Ns, Cin]
+    kernel_points,  # [P, 3]
+    weights,        # [P, Cin, Cout]
+    kp_extent,
+    influence="linear",
+    aggregation="sum",
+    use_pallas=False,
+    compute_dtype=None,
+):
+    """Batched KPConv: XLA path (default) or the fused Pallas kernel.
+
+    The Pallas kernel (ops/pallas/kpconv_kernel.py) fuses everything after
+    the neighbor-row gather and is parity-tested on real TPU, but measured
+    SLOWER than the XLA formulation on v5e (the influence x feature
+    expansion is VMEM-RMW-bound either way and XLA's pipelining wins), so
+    it is opt-in. ``compute_dtype=bfloat16`` halves the gather +
+    contraction traffic with f32 accumulation — the effective lever on
+    this hardware (~1.3x per conv).
+    """
+    import jax
+
+    b, nq, k = neighb_inds.shape
+    p, cin, cout = weights.shape
+
+    from .pallas.kpconv_kernel import fused_kpconv, pick_tile
+
+    tile_q = pick_tile(nq, k, cin + 3, p, cin)
+    # weights must also fit VMEM alongside the streamed blocks
+    fits = (p * cin * cout * 4) <= 4 * 2**20
+    if not (use_pallas and influence == "linear" and aggregation == "sum"
+            and tile_q and fits):
+        conv = jax.vmap(kpconv,
+                        in_axes=(0, 0, 0, 0, None, None, None, None, None, None))
+        return conv(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
+                    kp_extent, influence, aggregation, compute_dtype)
+
+    table = jnp.concatenate(
+        [jnp.concatenate([s_pts, jnp.full((b, 1, 3), 1.0e6, s_pts.dtype)], axis=1),
+         jnp.concatenate([x, jnp.zeros((b, 1, x.shape[-1]), x.dtype)], axis=1)],
+        axis=-1)
+    # K-major layout: the kernel streams (1, 1, TILE_Q, 3+C) blocks
+    inds_km = jnp.swapaxes(neighb_inds, 1, 2)                   # [B, K, Nq]
+    gathered = jax.vmap(lambda t, i: t[i])(table, inds_km)      # [B, K, Nq, 3+C]
+    return fused_kpconv(gathered, q_pts, kernel_points, weights,
+                        float(kp_extent), tile_q)
 
 
 def max_pool(x, inds):

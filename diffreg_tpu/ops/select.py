@@ -58,7 +58,9 @@ def extract_correspondences(corr_mat, score_mat, max_corr):
     n, m = score_mat.shape
     masked = jnp.where(corr_mat, score_mat, NEG_INF)
     flat = masked.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, max_corr)
+    from .topk import fast_top_k
+
+    scores, idx = fast_top_k(flat, max_corr)
     valid = jnp.take(corr_mat.reshape(-1), idx)
     return Correspondences(
         (idx // m).astype(jnp.int32),

@@ -52,6 +52,7 @@ class TestModelForward:
             variables, batch, jax.random.PRNGKey(3))
         assert bool(jnp.all(jnp.isfinite(out["conf_matrix_pred"])))
 
+    @pytest.mark.slow
     def test_4dmatch_variant(self):
         batch, spec, pcfg = synthetic_batch(batch_size=1, n_points=96, seed=1, deformable=True)
         cfg = preset_tiny("4dmatch", sample_steps=2)
@@ -66,6 +67,7 @@ class TestModelForward:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_loss_decreases(self, tiny_setup):
         batch, model, variables = tiny_setup
         loss_cfg = LossConfig()
@@ -79,6 +81,7 @@ class TestTraining:
             assert bool(info["grads_finite"])
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_gradients_nonzero_for_all_trainable(self, tiny_setup):
         batch, model, variables = tiny_setup
         loss_cfg = LossConfig()

@@ -9,6 +9,7 @@ def test_eight_virtual_devices():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -17,6 +18,7 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """Data-parallel train step == single-device step on the same batch."""
     from diffreg_tpu.data import synthetic_batch

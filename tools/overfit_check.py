@@ -36,14 +36,31 @@ def main():
 
     batch, spec, _ = synthetic_batch(batch_size=n_pairs, n_points=512, seed=7)
 
+    # env hooks mirror bench.py so the bench configuration's ACCURACY can be
+    # validated end-to-end: DIFFREG_PRECISION (matmul policy),
+    # DIFFREG_COMPUTE_DTYPE (conv gather dtype), DIFFREG_CONDITION
+    # (procrustes gate; 40 = warp-active like the 4DMatch configs)
+    prec = os.environ.get("DIFFREG_PRECISION")
+    if prec:
+        from diffreg_tpu.utils.precision import set_precision
+
+        set_precision(prec)
+    cdt = os.environ.get("DIFFREG_COMPUTE_DTYPE") or None
+    cond = float(os.environ.get("DIFFREG_CONDITION", "0"))
+
     base = preset_3dmatch(sample_steps=10)
     matching = dataclasses.replace(base.coarse_matching, feature_dim=96)
+    proc = dataclasses.replace(base.coarse_transformer.procrustes,
+                               max_condition_num=cond) if cond else \
+        base.coarse_transformer.procrustes
     transformer = dataclasses.replace(
-        base.coarse_transformer, feature_dim=96, n_head=4, feature_matching=matching)
+        base.coarse_transformer, feature_dim=96, n_head=4,
+        feature_matching=matching, procrustes=proc, flash_attention=False)
     kpfcn = dataclasses.replace(base.kpfcn, first_feats_dim=64, coarse_feature_dim=96,
-                                fine_feature_dim=32, first_subsampling_dl=0.06)
+                                fine_feature_dim=32, first_subsampling_dl=0.06,
+                                compute_dtype=cdt)
     cfg = dataclasses.replace(base, kpfcn=kpfcn, coarse_transformer=transformer,
-                              coarse_matching=matching)
+                              coarse_matching=matching, procrustes=proc)
     model = DiffusionMatchingModel(cfg)
 
     rng = jax.random.PRNGKey(0)
@@ -53,35 +70,37 @@ def main():
     print(f"model params: {n_params/1e6:.2f}M; pairs: {n_pairs}; steps: {n_steps}")
 
     step = jax.jit(make_train_step(model, LossConfig(), ocfg))
-    ddim = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))
 
-    backbone = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="backbone"))
+    # ONE jit for the whole evaluation: eager per-pair loops dispatch
+    # op-by-op through the tunnel (~30 ms/op) and take minutes
+    def _eval(variables, batch, mode):
+        out = model.apply(variables, batch, jax.random.PRNGKey(99), mode=mode)
+
+        def one(conf, mask, s_pcd, t_pcd, rot_gt, trn_gt):
+            corrs = extract_correspondences(mask, conf, 512)
+            ir = inlier_ratio(s_pcd[corrs.src_idx], t_pcd[corrs.tgt_idx],
+                              corrs.valid, rot_gt, trn_gt[:, 0], inlier_thr=0.1)
+            res = ransac_pose(jax.random.PRNGKey(7), s_pcd[corrs.src_idx],
+                              t_pcd[corrs.tgt_idx], corrs.valid,
+                              distance_threshold=0.05, num_hypotheses=4096)
+            rre = rotation_error_deg(res.rotation[None], rot_gt[None])[0]
+            return ir, rre
+
+        return jax.vmap(one)(out["conf_matrix_pred"], out["corr_mask"],
+                             out["s_pcd"], out["t_pcd"],
+                             batch.rot_gt, batch.trn_gt)
+
+    eval_ddim = jax.jit(lambda v, b: _eval(v, b, "ddim"))
+    eval_bb = jax.jit(lambda v, b: _eval(v, b, "backbone"))
 
     def evaluate(variables, tag, mode="ddim"):
-        fwd = ddim if mode == "ddim" else backbone
-        out = fwd(variables, batch, jax.random.PRNGKey(99))
-        irs = []
-        for i in range(n_pairs):
-            corrs = extract_correspondences(
-                out["corr_mask"][i], out["conf_matrix_pred"][i], 512)
-            ir = inlier_ratio(out["s_pcd"][i][corrs.src_idx],
-                              out["t_pcd"][i][corrs.tgt_idx], corrs.valid,
-                              batch.rot_gt[i], batch.trn_gt[i][:, 0], inlier_thr=0.1)
-            irs.append(float(ir))
+        irs, rres = (eval_ddim if mode == "ddim" else eval_bb)(variables, batch)
+        irs, rres = np.asarray(irs), np.asarray(rres)
         # registration success via on-device RANSAC (the metric that matters:
         # top-1 union extraction includes non-overlap argmaxes by reference
         # design, so raw IR is bounded ~overlap fraction — reference 3DMatch
         # IR is ~31% at RR 95%)
-        rres = []
-        for i in range(n_pairs):
-            corrs = extract_correspondences(
-                out["corr_mask"][i], out["conf_matrix_pred"][i], 512)
-            res = ransac_pose(jax.random.PRNGKey(7), out["s_pcd"][i][corrs.src_idx],
-                              out["t_pcd"][i][corrs.tgt_idx], corrs.valid,
-                              distance_threshold=0.05, num_hypotheses=4096)
-            rres.append(float(rotation_error_deg(res.rotation[None],
-                                                 batch.rot_gt[i][None])[0]))
-        success = np.mean(np.asarray(rres) < 5.0)
+        success = np.mean(rres < 5.0)
         print(f"{tag} [{mode}]: IR mean={np.mean(irs):.3f}, RANSAC RRE "
               f"{np.round(rres,1)} deg, success@5deg={success:.2f}", flush=True)
         return np.mean(irs), success
@@ -90,8 +109,11 @@ def main():
     ir0, succ0 = evaluate(variables, "before training")
 
     t0 = time.time()
+    # pre-derived step keys: per-iteration fold_in costs ~190 ms of host
+    # dispatch on the tunneled backend
+    step_keys = list(jax.random.split(rng, n_steps))
     for i in range(n_steps):
-        state, info = step(state, batch, jax.random.fold_in(rng, i))
+        state, info = step(state, batch, step_keys[i])
         if (i + 1) % 50 == 0:
             print(f"step {i+1}: loss={float(info['loss']):.4f} "
                   f"recall={float(info['recall_coarse']):.3f} "
