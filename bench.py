@@ -71,7 +71,10 @@ def main():
     compute_dtype = os.environ.get("DIFFREG_COMPUTE_DTYPE", "bfloat16")
     if compute_dtype and compute_dtype != "float32":
         cfg = dataclasses.replace(
-            cfg, kpfcn=dataclasses.replace(cfg.kpfcn, compute_dtype=compute_dtype))
+            cfg,
+            kpfcn=dataclasses.replace(cfg.kpfcn, compute_dtype=compute_dtype),
+            coarse_transformer=dataclasses.replace(
+                cfg.coarse_transformer, compute_dtype=compute_dtype))
     model = DiffusionMatchingModel(cfg)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(lambda b, r: model.init({"params": r}, b, r, mode="train"))(batch, rng)

@@ -1,7 +1,8 @@
 from .checkpoint import CheckpointManager
 from .losses import LossConfig, diffreg_loss, focal_correspondence_loss, match_recall_precision
 from .tester import FourDMatchTester, TestConfig, ThreeDMatchTester
-from .train import OptimConfig, TrainState, create_train_state, make_optimizer, make_train_step
+from .train import (OptimConfig, TrainState, create_train_state, make_eval_step,
+                    make_optimizer, make_train_step)
 from .trainer import Trainer, TrainerConfig
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "create_train_state",
     "make_optimizer",
     "make_train_step",
+    "make_eval_step",
     "Trainer",
     "TrainerConfig",
     "CheckpointManager",

@@ -97,3 +97,17 @@ def make_train_step(model, loss_cfg: LossConfig, optim_cfg: OptimConfig) -> Call
         return new_state, info
 
     return train_step
+
+
+def make_eval_step(model, loss_cfg: LossConfig) -> Callable:
+    """Validation step: the training loss WITHOUT an optimizer update
+    (reference BaseTrainer val loop, vision3d/engine/base_trainer.py:342-414)."""
+
+    def eval_step(state: TrainState, batch, rng):
+        outputs = model.apply(
+            {"params": state.params, "buffers": state.buffers}, batch, rng,
+            mode="train")
+        loss, info = diffreg_loss(outputs, batch, loss_cfg)
+        return dict(info)
+
+    return eval_step

@@ -135,11 +135,34 @@ def main(argv=None):
         probe_batch = next(make_test_iter())[0]
 
     if mode == "train":
+        from .engine import make_eval_step
+
         state = create_train_state(model, probe_batch, rng, optim_cfg)
         step = jax.jit(make_train_step(model, loss_cfg, optim_cfg))
+
+        # validation loop when the split declares one (reference BaseTrainer
+        # val_epoch, vision3d/engine/base_trainer.py:342-414)
+        make_val_iter = val_step = None
+        val_split = raw.get("split", {}).get("val") if not demo else None
+        if val_split and os.path.exists(val_split):
+            from .data.datasets import (
+                FourDMatchPairDataset as _FD,
+                ThreeDMatchPairDataset as _TD,
+                iterate_batches as _ib,
+            )
+
+            if dataset_name == "4dmatch":
+                val_ds = _FD(val_split, augment=False)
+            else:
+                val_ds = _TD(val_split, data_root, augment=False)
+            make_val_iter = lambda epoch: _ib(val_ds, spec, pyr_cfg, batch_size,
+                                             num_workers=num_workers)
+            val_step = jax.jit(make_eval_step(model, loss_cfg))
+
         trainer = Trainer(step, state, make_iter,
                           TrainerConfig(max_epoch=int(raw.get("max_epoch", 10)),
                                         save_dir=save_dir),
+                          make_val_iter=make_val_iter, val_step=val_step,
                           logger=logger, rng=rng)
         if args.resume:
             trainer.resume()

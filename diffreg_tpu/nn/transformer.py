@@ -51,6 +51,10 @@ class TransformerConfig:
     procrustes: ProcrustesConfig = ProcrustesConfig()
     feature_matching: Optional[MatchingConfig] = None
     flash_attention: bool = False          # fused Pallas attention kernel
+    # 'bfloat16' runs the attention/FFN activations in bf16 (softmax and
+    # LayerNorm stay f32); halves the per-step denoiser traffic in the
+    # warp-active DDIM loop
+    compute_dtype: Optional[str] = None
 
 
 class GeometryAttentionLayer(nn.Module):
@@ -59,27 +63,34 @@ class GeometryAttentionLayer(nn.Module):
     n_head: int
     pe_type: str
     use_flash: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
         b, n, _ = x.shape
         h = self.n_head
         dim = self.d_model // h
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        in_dtype = x.dtype
+        if dt is not None:
+            x, source = x.astype(dt), source.astype(dt)
 
-        q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj")
-        k_proj = nn.Dense(self.d_model, use_bias=False, name="k_proj")
-        v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj")
-        merge = nn.Dense(self.d_model, use_bias=False, name="merge")
+        q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)
+        k_proj = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)
+        v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)
+        merge = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)
 
         if self.pe_type == "sinusoidal":
-            q_in = x + x_pe if x_pe is not None else x
-            k_in = source + source_pe if source_pe is not None else source
+            q_in = x + (x_pe.astype(x.dtype) if x_pe is not None else 0)
+            k_in = source + (source_pe.astype(x.dtype) if source_pe is not None else 0)
             qw, kw = q_proj(q_in), k_proj(k_in)
         elif self.pe_type == "rotary":
             qw, kw = q_proj(x), k_proj(source)
             if x_pe is not None:
-                qw = embed_rotary(qw, x_pe[..., 0], x_pe[..., 1])
-                kw = embed_rotary(kw, source_pe[..., 0], source_pe[..., 1])
+                xp = x_pe.astype(qw.dtype)
+                sp = source_pe.astype(kw.dtype)
+                qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
+                kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
         else:
             raise KeyError(self.pe_type)
         vw = v_proj(source)
@@ -100,23 +111,34 @@ class GeometryAttentionLayer(nn.Module):
                 vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret)
             o = o.transpose(0, 2, 1, 3)
         else:
-            a = jnp.einsum("blhd,bshd->blsh", qw, kw, precision=get_precision())
+            if dt is not None:
+                # bf16 inputs, f32 logits/softmax, bf16 AV
+                a = jnp.einsum("blhd,bshd->blsh", qw, kw,
+                               preferred_element_type=jnp.float32)
+            else:
+                a = jnp.einsum("blhd,bshd->blsh", qw, kw, precision=get_precision())
             if source_mask is not None:
                 # reference semantics: mask only (valid q, invalid kv) entries
                 bad = x_mask[:, :, None] & (~source_mask[:, None, :])
                 a = jnp.where(bad[..., None], NEG_INF, a)
             a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
             a = jax.nn.softmax(a, axis=2)
-            o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
+            if dt is not None:
+                o = jnp.einsum("blsh,bshd->blhd", a.astype(dt), vw,
+                               preferred_element_type=jnp.float32).astype(dt)
+            else:
+                o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
 
         message = merge(o.reshape(b, -1, self.d_model))
-        message = nn.LayerNorm(name="norm1")(message)
+        message = nn.LayerNorm(name="norm1")(message.astype(jnp.float32))
+        if dt is not None:
+            message = message.astype(dt)
         y = jnp.concatenate([x, message], axis=-1)
-        y = nn.Dense(self.d_model * 2, use_bias=False, name="mlp0")(y)
+        y = nn.Dense(self.d_model * 2, use_bias=False, name="mlp0", dtype=dt)(y)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, use_bias=False, name="mlp1")(y)
-        y = nn.LayerNorm(name="norm2")(y)
-        return x + y
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp1", dtype=dt)(y)
+        y = nn.LayerNorm(name="norm2")(y.astype(jnp.float32))
+        return x.astype(in_dtype) + y.astype(in_dtype)
 
 
 class RepositioningTransformer(nn.Module):
@@ -128,7 +150,8 @@ class RepositioningTransformer(nn.Module):
             if lt in ("self", "cross"):
                 modules[str(i)] = GeometryAttentionLayer(
                     self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
-                    use_flash=self.cfg.flash_attention, name=f"layer{i}_{lt}")
+                    use_flash=self.cfg.flash_attention,
+                    compute_dtype=self.cfg.compute_dtype, name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":
                     assert self.cfg.feature_matching is not None

@@ -207,3 +207,40 @@ class TestBucketedLoading:
         assert sizes == [160, 512]  # one batch per bucket
         for b, _ in batches:
             assert b.features.shape[0] == 2
+
+
+class TestContextManager:
+    def test_scoped_registry(self):
+        from diffreg_tpu.utils.context import ContextManager
+
+        cm = ContextManager()
+        cm.register("a", 1)
+        assert cm.get("a") == 1 and cm.exists("a")
+        cm.set_scope("other")
+        assert not cm.exists("a")
+        cm.register("a", 2)
+        assert cm.get("a") == 2
+        assert cm.get("a", scope="default") == 1
+        cm.delete_scope("other")
+        assert cm.get_scope() == "default"
+        with pytest.raises(ValueError):
+            cm.delete_scope("default")
+
+
+class TestEvalStep:
+    def test_val_loss_without_update(self):
+        import jax
+
+        from diffreg_tpu.data import synthetic_batch
+        from diffreg_tpu.engine import (LossConfig, OptimConfig,
+                                        create_train_state, make_eval_step)
+        from diffreg_tpu.models import DiffusionMatchingModel
+        from diffreg_tpu.models.presets import preset_tiny
+
+        batch, _, _ = synthetic_batch(batch_size=1, n_points=64, seed=0)
+        model = DiffusionMatchingModel(preset_tiny("3dmatch", sample_steps=1))
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(model, batch, rng,
+                                   OptimConfig(optimizer="adam", lr=1e-4))
+        info = jax.jit(make_eval_step(model, LossConfig()))(state, batch, rng)
+        assert np.isfinite(float(info["loss"]))

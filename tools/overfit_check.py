@@ -55,7 +55,8 @@ def main():
         base.coarse_transformer.procrustes
     transformer = dataclasses.replace(
         base.coarse_transformer, feature_dim=96, n_head=4,
-        feature_matching=matching, procrustes=proc, flash_attention=False)
+        feature_matching=matching, procrustes=proc, flash_attention=False,
+        compute_dtype=cdt)
     kpfcn = dataclasses.replace(base.kpfcn, first_feats_dim=64, coarse_feature_dim=96,
                                 fine_feature_dim=32, first_subsampling_dl=0.06,
                                 compute_dtype=cdt)
