@@ -189,8 +189,20 @@ class RepositioningTransformer(nn.Module):
         for i, lt in enumerate(cfg.layer_types):
             layer = self.layer_modules.get(str(i))
             if lt == "self":
-                src_feat = layer(src_feat, src_feat, s_pe, s_pe, src_mask, src_mask)
-                tgt_feat = layer(tgt_feat, tgt_feat, t_pe, t_pe, tgt_mask, tgt_mask)
+                if src_feat.shape[1] == tgt_feat.shape[1]:
+                    # src/tgt self-attention share weights and are
+                    # independent: one [2B] batched call halves the kernel
+                    # launches and doubles matmul batch (same math)
+                    both = jnp.concatenate([src_feat, tgt_feat], axis=0)
+                    pe2 = (None if s_pe is None
+                           else jnp.concatenate([s_pe, t_pe], axis=0))
+                    mask2 = jnp.concatenate([src_mask, tgt_mask], axis=0)
+                    both = layer(both, both, pe2, pe2, mask2, mask2)
+                    b = src_feat.shape[0]
+                    src_feat, tgt_feat = both[:b], both[b:]
+                else:
+                    src_feat = layer(src_feat, src_feat, s_pe, s_pe, src_mask, src_mask)
+                    tgt_feat = layer(tgt_feat, tgt_feat, t_pe, t_pe, tgt_mask, tgt_mask)
             elif lt == "cross":
                 src_feat = layer(src_feat, tgt_feat, s_pe, t_pe, src_mask, tgt_mask)
                 tgt_feat = layer(tgt_feat, src_feat, t_pe, s_pe, tgt_mask, src_mask)
