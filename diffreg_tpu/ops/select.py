@@ -88,3 +88,47 @@ def thresholded_mutual_argmax_mask(conf_matrix, thr=0.0, mutual=True):
         col_max = jnp.max(conf_matrix, axis=1, keepdims=True)
         mask = mask & (conf_matrix == row_max) & (conf_matrix == col_max)
     return mask
+
+
+def superpoint_proposals(src_idx, tgt_idx, overlaps, valid, num_proposals, rng,
+                         overlap_threshold=0.3, decay_step=0.05,
+                         probabilistic=False):
+    """GT superpoint-proposal selection — SuperPointProposalGenerator twin
+    (vision3d/models/geotransformer/superpoint_proposal.py:8-56; the
+    reference 2d3d model instantiates it at model.py:233).
+
+    Static-shape version of the reference's loop: the overlap threshold
+    decays by ``decay_step`` until at least one candidate passes (computed
+    as a vectorized minimum decay count, not a Python loop), then
+    ``num_proposals`` candidates are drawn without replacement — uniformly,
+    or overlap-weighted when ``probabilistic``.
+
+    Args:
+      src_idx/tgt_idx: [N] padded GT correspondence indices.
+      overlaps: [N] overlap ratios; valid: [N] bool.
+      rng: jax PRNG key.
+
+    Returns (src [P], tgt [P], overlaps [P], valid [P]).
+    """
+    import jax
+
+    ov = jnp.where(valid, overlaps, -jnp.inf)
+    # smallest k with max(ov) > thr - k*decay (strict >, like the reference
+    # loop): k = 0 when already passing, else floor((thr - max)/decay) + 1
+    max_ov = jnp.max(ov)
+    k = jnp.where(max_ov > overlap_threshold, 0.0,
+                  jnp.floor((overlap_threshold - max_ov) / decay_step) + 1.0)
+    thr = overlap_threshold - k * decay_step
+    mask = ov > thr
+
+    # weighted sample without replacement via Gumbel top-k on log-weights
+    if probabilistic:
+        logw = jnp.where(mask, jnp.log(jnp.clip(ov, 1e-12, None)), -jnp.inf)
+    else:
+        logw = jnp.where(mask, 0.0, -jnp.inf)
+    g = jax.random.gumbel(rng, logw.shape)
+    scores = logw + g
+    _, sel = jax.lax.top_k(scores, num_proposals)
+    sel_valid = jnp.take(mask, sel)
+    return (jnp.take(src_idx, sel), jnp.take(tgt_idx, sel),
+            jnp.take(overlaps, sel), sel_valid)

@@ -94,3 +94,37 @@ class TestProfiling:
         with runtime_profiler("block", timers):
             sum(range(1000))
         assert timers.meters["block"].count == 1
+
+
+class TestSuperpointProposals:
+    def test_threshold_decay_and_selection(self, rng):
+        import jax
+        from diffreg_tpu.ops.select import superpoint_proposals
+
+        n = 64
+        src = jnp.arange(n, dtype=jnp.int32)
+        tgt = jnp.arange(n, dtype=jnp.int32)[::-1].astype(jnp.int32)
+        ov = jnp.asarray(rng.rand(n).astype(np.float32) * 0.2)  # all < 0.3
+        valid = jnp.asarray(np.arange(n) < 48)
+        s, t, o, v = superpoint_proposals(src, tgt, ov, valid, 16,
+                                          jax.random.PRNGKey(0),
+                                          overlap_threshold=0.3)
+        # threshold decayed until candidates pass; selections come from the
+        # valid set and carry their overlaps
+        assert bool(v.any())
+        sn, on = np.asarray(s)[np.asarray(v)], np.asarray(o)[np.asarray(v)]
+        for si, oi in zip(sn, on):
+            assert si < 48
+            np.testing.assert_allclose(oi, float(ov[si]), atol=1e-6)
+
+    def test_no_replacement(self, rng):
+        import jax
+        from diffreg_tpu.ops.select import superpoint_proposals
+
+        src = jnp.arange(32, dtype=jnp.int32)
+        ov = jnp.asarray(rng.rand(32).astype(np.float32) * 0.5 + 0.4)
+        valid = jnp.ones(32, bool)
+        s, _, _, v = superpoint_proposals(src, src, ov, valid, 8,
+                                          jax.random.PRNGKey(1))
+        sel = np.asarray(s)[np.asarray(v)]
+        assert len(set(sel.tolist())) == len(sel)
