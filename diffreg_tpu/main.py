@@ -49,6 +49,12 @@ def main(argv=None):
     from .utils.logging import Logger
 
     raw = load_yaml(args.config)
+    # matmul precision policy: 'highest' (parity default) or 'default'
+    # (bf16-input matmuls; pose-critical contractions stay pinned HIGHEST)
+    if raw.get("precision"):
+        from .utils.precision import set_precision
+
+        set_precision(str(raw["precision"]))
     mode = args.mode or raw.get("mode", "test")
     batch_size = args.batch_size or int(raw.get("batch_size", 1))
     dataset_name = str(raw.get("dataset", "3dmatch"))

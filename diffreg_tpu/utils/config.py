@@ -58,6 +58,7 @@ def build_pipeline_config(raw: Dict[str, Any]):
         max_condition_num=float(pr.get("max_condition_num", 0.0)),
         use_masked_lengths=(dataset == "4dmatch"),
     )
+    compute_dtype = raw.get("compute_dtype")  # 'bfloat16' = fast path
     transformer = TransformerConfig(
         feature_dim=int(ct.get("feature_dim", 432)),
         n_head=int(ct.get("n_head", 4)),
@@ -70,6 +71,8 @@ def build_pipeline_config(raw: Dict[str, Any]):
         entangled=bool(ct.get("entangled", False)),
         procrustes=procrustes,
         feature_matching=matching,
+        flash_attention=bool(ct.get("flash_attention", False)),
+        compute_dtype=compute_dtype,
     )
     kpfcn = KPFCNConfig(
         architecture=tuple(raw.get("architecture", KPFCN_ARCHITECTURE)),
@@ -87,6 +90,7 @@ def build_pipeline_config(raw: Dict[str, Any]):
         coarse_feature_dim=int(kp.get("coarse_feature_dim", 432)),
         fine_feature_dim=int(kp.get("fine_feature_dim", 264)),
         coarse_level=int(kp.get("coarse_level", -2)),
+        compute_dtype=compute_dtype,
     )
     return PipelineConfig(
         kpfcn=kpfcn,

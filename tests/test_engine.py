@@ -244,3 +244,16 @@ class TestEvalStep:
                                    OptimConfig(optimizer="adam", lr=1e-4))
         info = jax.jit(make_eval_step(model, LossConfig()))(state, batch, rng)
         assert np.isfinite(float(info["loss"]))
+
+
+class TestConfigFastPath:
+    def test_compute_dtype_plumbed(self):
+        from diffreg_tpu.utils.config import build_pipeline_config, load_yaml
+
+        raw = load_yaml("configs/test/3dmatch_fast.yaml")
+        cfg = build_pipeline_config(raw)
+        assert cfg.kpfcn.compute_dtype == "bfloat16"
+        assert cfg.coarse_transformer.compute_dtype == "bfloat16"
+        raw2 = load_yaml("configs/test/3dmatch.yaml")
+        cfg2 = build_pipeline_config(raw2)
+        assert cfg2.kpfcn.compute_dtype is None

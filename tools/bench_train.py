@@ -34,7 +34,22 @@ def main():
     batch, _, _ = synthetic_batch(batch_size=batch_size, n_points=n_points,
                                   seed=0, spec=spec, cfg=pcfg)
 
-    model = DiffusionMatchingModel(preset_3dmatch())
+    import dataclasses
+
+    from diffreg_tpu.utils.precision import set_precision
+
+    # same fast-path policy as bench.py (override with env)
+    set_precision(os.environ.get("DIFFREG_PRECISION", "default"))
+    cfg = preset_3dmatch(train=True)   # warp ACTIVE in training (gate 200)
+    cdt = os.environ.get("DIFFREG_COMPUTE_DTYPE", "bfloat16")
+    if cdt and cdt != "float32":
+        cfg = dataclasses.replace(
+            cfg,
+            kpfcn=dataclasses.replace(cfg.kpfcn, compute_dtype=cdt),
+            coarse_transformer=dataclasses.replace(
+                cfg.coarse_transformer, compute_dtype=cdt,
+                flash_attention=False))
+    model = DiffusionMatchingModel(cfg)
     rng = jax.random.PRNGKey(0)
     ocfg = OptimConfig(optimizer="sgd", lr=0.015)
     state = create_train_state(model, batch, rng, ocfg)
@@ -44,9 +59,10 @@ def main():
     float(info["loss"])  # compile + barrier
 
     iters = 5
+    keys = list(jax.random.split(rng, iters))  # fold_in in the loop costs ~190ms/call
     t0 = time.perf_counter()
     for i in range(iters):
-        state, info = step(state, batch, jax.random.fold_in(rng, i))
+        state, info = step(state, batch, keys[i])
         float(info["loss"])
     dt = (time.perf_counter() - t0) / iters
 
