@@ -148,3 +148,51 @@ class TestPatchInlierRatio:
         gt_valid = jnp.asarray(np.array([True, True, True, False]))
         pir = patch_inlier_ratio(corr, gt_src, gt_tgt, gt_valid)
         assert float(pir) == pytest.approx(2 / 3)
+
+
+@pytest.mark.slow
+class TestTwoDThreeDTesterEndToEnd:
+    def test_cache_and_eval_from_cache(self, tmp_path):
+        """Inference -> per-scene npz cache -> eval_from_cache full metric
+        table (reference test.py/eval.py split)."""
+        import jax
+
+        from diffreg_tpu.data.synthetic2d3d import synthetic_2d3d_batch
+        from diffreg_tpu.engine.tester2d3d import (Test2D3DConfig,
+                                                   TwoDThreeDTester,
+                                                   eval_from_cache)
+        from diffreg_tpu.models.pipeline_2d3d import DiffReg2D3D, Pipeline2D3DConfig
+        from diffreg_tpu.nn.matching import MatchingConfig
+        from diffreg_tpu.nn.point_backbone import PointBackboneConfig
+
+        cfg = Pipeline2D3DConfig(
+            img_out_dim=16, img_base_dim=16,
+            pcd_backbone=PointBackboneConfig(output_dim=16, init_dim=8,
+                                             init_radius=0.1, init_sigma=0.08),
+            hidden_dim=32, output_dim=32, num_heads=2,
+            matching=MatchingConfig(feature_dim=32), sample_steps=1)
+        model = DiffReg2D3D(cfg)
+        key = jax.random.PRNGKey(0)
+        batch = synthetic_2d3d_batch(batch_size=2, img_hw=(32, 48),
+                                     n_points=160, seed=0)
+        variables = model.init({"params": key}, batch, key, mode="train")
+
+        def make_iter():
+            for i in range(2):
+                yield synthetic_2d3d_batch(batch_size=2, img_hw=(32, 48),
+                                           n_points=160, seed=i), \
+                    [f"scene{i % 2}", f"scene{(i + 1) % 2}"]
+
+        tcfg = Test2D3DConfig(max_fine_corr=256, pnp_hypotheses=512)
+        tester = TwoDThreeDTester(model, variables, tcfg)
+        cache = str(tmp_path / "cache")
+        summary = tester.test(make_iter, cache_dir=cache)
+        for k in ("IR", "PIR", "FMR", "RR", "PMR>0", "PMR>=0.3", "pairs"):
+            assert k in summary
+        assert summary["pairs"] == 4
+
+        ev = eval_from_cache(cache, tcfg)
+        assert set(ev["scenes"]) == {"scene0", "scene1"}
+        for k in ("PIR", "PMR>0", "PMR>=0.1", "PMR>=0.3", "PMR>=0.5",
+                  "IR", "OR", "FMR", "RR"):
+            assert k in ev, k
