@@ -260,8 +260,10 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
 
         def make_iter():
             for i in range(max(1, args.num_pairs // batch_size)):
-                yield synthetic_2d3d_batch(batch_size=batch_size, img_hw=(64, 96),
-                                           n_points=512, seed=i), [{}] * batch_size
+                yield synthetic_2d3d_batch(
+                    batch_size=batch_size, img_hw=(64, 96), n_points=512, seed=i,
+                    # train demo exercises the full loss (overlap circle + fine)
+                    with_full_gt=(mode == "train")), [{}] * batch_size
 
         probe = next(make_iter())[0]
     else:
@@ -322,7 +324,10 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         from .engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
         from .engine.trainer import Trainer, TrainerConfig
 
+        from .engine.losses2d3d import FineLossConfig
+
         lc = raw.get("loss", {}).get("coarse_loss", {})
+        fl = raw.get("loss", {}).get("fine_loss", {})
         circle_cfg = CircleLossConfig(
             positive_margin=float(lc.get("positive_margin", 0.1)),
             negative_margin=float(lc.get("negative_margin", 1.4)),
@@ -332,9 +337,17 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
             positive_overlap=float(lc.get("positive_overlap", 0.3)),
             negative_overlap=float(lc.get("negative_overlap", 0.2)),
         )
+        fine_cfg = FineLossConfig(
+            positive_radius_3d=float(fl.get("positive_radius_3d", 0.0375)),
+            negative_radius_3d=float(fl.get("negative_radius_3d", 0.1)),
+            positive_radius_2d=float(fl.get("positive_radius_2d", 8.0)),
+            negative_radius_2d=float(fl.get("negative_radius_2d", 12.0)),
+            circle=CircleLossConfig(log_scale=float(fl.get("log_scale", 24.0))),
+        )
         ocfg = OptimConfig(optimizer="adam", lr=float(raw.get("lr", 1e-4)))
         state = create_train_state_2d3d(model, probe, rng, ocfg)
-        step = jax.jit(make_train_step_2d3d(model, circle_cfg, LossConfig(), ocfg))
+        step = jax.jit(make_train_step_2d3d(model, circle_cfg, LossConfig(), ocfg,
+                                            fine_cfg=fine_cfg))
         trainer = Trainer(step, state, lambda epoch: make_iter(),
                           TrainerConfig(max_epoch=int(raw.get("max_epoch", 10)),
                                         save_dir=save_dir),
