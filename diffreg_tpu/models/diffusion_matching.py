@@ -37,6 +37,18 @@ from ..nn.transformer import ProcrustesConfig, RepositioningTransformer, Transfo
 from ..ops.select import mutual_topk_mask
 
 
+def masked_min(x, src_mask, tgt_mask):
+    """Per-element min of x over VALID entries only, keepdims.
+
+    The reference computes ``x - x.min()`` over a matrix with no padding
+    (pipeline.py:210,239,264 at B=1); with our static padding the padded
+    entries of x evolve freely through the DDIM algebra and must not leak
+    into the shift.
+    """
+    valid = src_mask[:, :, None] & tgt_mask[:, None, :]
+    return jnp.min(jnp.where(valid, x, jnp.inf), axis=(1, 2), keepdims=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     kpfcn: KPFCNConfig
@@ -170,7 +182,7 @@ class DiffusionMatchingModel(nn.Module):
             noise = signed_fractional_noise(rng_noise, matrix_gt.shape)
             disturbed = q_sample(self.schedule, matrix_gt, ts, noise)
             disturbed = jnp.nan_to_num(disturbed, nan=0.0)
-            disturbed = disturbed - jnp.min(disturbed, axis=(1, 2), keepdims=True)
+            disturbed = disturbed - masked_min(disturbed, src_mask, tgt_mask)
 
         src_warped, t_pcd_w, _, _ = self._warp_from_noisy_matrix(
             disturbed, s_pcd, t_pcd, src_mask, tgt_mask)
@@ -193,7 +205,14 @@ class DiffusionMatchingModel(nn.Module):
     # DDIM sampling branch (pipeline.py:221-284) — one lax.scan
     # ------------------------------------------------------------------ #
 
-    def ddim_sample(self, batch, rng, sample_steps: Optional[int] = None):
+    def ddim_sample(self, batch, rng, sample_steps: Optional[int] = None,
+                    x_init: Optional[jnp.ndarray] = None,
+                    zero_ddim_noise: bool = False):
+        """DDIM reverse loop. ``x_init`` overrides the N(0,1) start (parity
+        tests / deterministic eval); ``zero_ddim_noise`` drops the stochastic
+        +sigma*noise term while keeping sigma inside the DDIM coefficient c,
+        exactly what zeroing torch.randn_like would do in the reference
+        (4dmatch pipeline.py:190)."""
         cfg = self.cfg
         src_feats_bb, tgt_feats_bb, s_pcd, t_pcd = self.encode(batch)
         src_mask, tgt_mask = batch.src_mask, batch.tgt_mask
@@ -204,7 +223,7 @@ class DiffusionMatchingModel(nn.Module):
         pairs = jnp.asarray(ddim_time_pairs(cfg.timesteps, steps))  # [steps, 2]
 
         rng_init, rng_loop = jax.random.split(rng)
-        x0_init = jax.random.normal(rng_init, (b, s, t))
+        x0_init = jax.random.normal(rng_init, (b, s, t)) if x_init is None else x_init
 
         def body(mdl, x, scan_in):
             # NOTE: runs under nn.scan — module calls share broadcast params.
@@ -212,7 +231,7 @@ class DiffusionMatchingModel(nn.Module):
             if cfg.variant != "4dmatch":
                 # per-step min-shift exists only in the 3dmatch loop
                 # (3dmatch pipeline.py:239; absent from 4dmatch pipeline.py:160-190)
-                x = x - jnp.min(x, axis=(1, 2), keepdims=True)
+                x = x - masked_min(x, src_mask, tgt_mask)
             src_warped, t_pcd_w, _, _ = mdl._warp_from_noisy_matrix(
                 x, s_pcd, t_pcd, src_mask, tgt_mask)
             x_start, _ = mdl._denoise(
@@ -228,7 +247,7 @@ class DiffusionMatchingModel(nn.Module):
             c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma**2, 0.0, None))
 
             x_new = x_start * jnp.sqrt(alpha_next) + c * pred_noise
-            if cfg.stochastic_ddim:
+            if cfg.stochastic_ddim and not zero_ddim_noise:
                 step_rng = jax.random.fold_in(rng_loop, step_idx)
                 x_new = x_new + sigma * jax.random.normal(step_rng, x_new.shape)
             return x_new, None
@@ -248,7 +267,7 @@ class DiffusionMatchingModel(nn.Module):
             conf_pred = jax.nn.sigmoid(x)
             conf_pred = conf_pred * (src_mask[:, :, None] & tgt_mask[:, None, :])
         else:
-            sim = x - jnp.min(x, axis=(1, 2), keepdims=True)
+            sim = x - masked_min(x, src_mask, tgt_mask)
             conf_pred = self.denoising_matching.sinkhorn(sim, src_mask, tgt_mask)
 
         # match_pred: top-1 from both sides, union (pipeline.py:275-278)
@@ -303,11 +322,11 @@ class DiffusionMatchingModel(nn.Module):
             "translation_pred": res.translation,
         }
 
-    def __call__(self, batch, rng, mode: str = "ddim"):
+    def __call__(self, batch, rng, mode: str = "ddim", **kwargs):
         if mode == "train":
             return self.train_forward(batch, rng)
         if mode == "ddim":
-            return self.ddim_sample(batch, rng)
+            return self.ddim_sample(batch, rng, **kwargs)
         if mode == "backbone":
             return self.backbone_forward(batch, rng)
         raise KeyError(mode)

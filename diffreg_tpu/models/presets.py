@@ -52,7 +52,11 @@ def preset_3dmatch(sample_steps: int = 20, feature_dim: int = 432,
     procrustes = ProcrustesConfig(
         sample_rate=1.0,
         max_condition_num=200.0 if train else 0.0,
-        use_masked_lengths=False,       # 3dmatch uses padded lengths (procrustes.py:61-62)
+        # The reference derives the weight budget from the PADDED sizes
+        # (procrustes.py:61-62), which at eval B=1 equal the REAL lengths.
+        # Our bucket padding is an implementation detail and must not widen
+        # the budget, so masked (real) lengths are the faithful choice.
+        use_masked_lengths=True,
     )
     transformer = TransformerConfig(
         feature_dim=feature_dim,
@@ -93,15 +97,19 @@ def preset_4dmatch(sample_steps: int = 20, thr: float = 0.55) -> PipelineConfig:
     SURVEY.md §2.1): gaussian+sigmoid noising, stochastic DDIM, masked-length
     procrustes, sigmoid prediction head with thr-based extraction.
 
-    max_condition_num=40 for BOTH train and test
-    (Diff-Reg-4dmatch/configs/{test,train}/4dmatch.yaml:53) — the
+    Dim/scale deltas vs 3DMatch (Diff-Reg-4dmatch/configs/test/4dmatch.yaml):
+    coarse_feature_dim 528, first_subsampling_dl 0.01, VolPE voxel 0.04,
+    max_condition_num=40 for BOTH train and test (yaml:53) — the
     repositioning warp is live in 4DMatch inference, unlike 3DMatch test."""
-    base = preset_3dmatch(sample_steps=sample_steps)
+    base = preset_3dmatch(sample_steps=sample_steps, feature_dim=528)
     procrustes = dataclasses.replace(
         base.procrustes, use_masked_lengths=True, max_condition_num=40.0)
-    transformer = dataclasses.replace(base.coarse_transformer, procrustes=procrustes)
+    transformer = dataclasses.replace(
+        base.coarse_transformer, procrustes=procrustes, voxel_size=0.04)
+    kpfcn = dataclasses.replace(base.kpfcn, first_subsampling_dl=0.01)
     return dataclasses.replace(
         base,
+        kpfcn=kpfcn,
         coarse_transformer=transformer,
         procrustes=procrustes,
         variant="4dmatch",

@@ -55,6 +55,12 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
     bins0 = jnp.broadcast_to(alpha, (b, n, 1))
     bins1 = jnp.broadcast_to(alpha, (b, 1, m))
     corner = jnp.broadcast_to(alpha, (b, 1, 1))
+    if src_mask is not None:
+        # padded rows/cols must not see a finite dustbin score either, or the
+        # dustbin row/col becomes a finite escape hatch for their (zeroed)
+        # marginal mass during the iterations
+        bins0 = jnp.where(src_mask[:, :, None], bins0, NEG_INF)
+        bins1 = jnp.where(tgt_mask[:, None, :], bins1, NEG_INF)
 
     z = jnp.concatenate(
         [
@@ -65,8 +71,19 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
     )  # [B, N+1, M+1]
 
     norm = -jnp.log(ms + ns)  # [B, 1]
+    # Marginals cover REAL rows/cols only. The reference repeats `norm` over
+    # its full (unpadded at eval B=1) sizes (matching.py:81-82); with our
+    # static bucket padding, giving padded rows/cols real marginal mass would
+    # drain the dustbin budget through the always-finite bins rows and skew
+    # every real confidence (~2x at 50% padding). NEG_INF (finite) keeps the
+    # log-domain iterations NaN-free while zeroing their mass exactly.
     log_mu = jnp.concatenate([jnp.broadcast_to(norm, (b, n)), jnp.log(ns) + norm], axis=1)
     log_nu = jnp.concatenate([jnp.broadcast_to(norm, (b, m)), jnp.log(ms) + norm], axis=1)
+    if src_mask is not None:
+        pad_r = jnp.concatenate([src_mask, jnp.ones((b, 1), bool)], axis=1)
+        pad_c = jnp.concatenate([tgt_mask, jnp.ones((b, 1), bool)], axis=1)
+        log_mu = jnp.where(pad_r, log_mu, NEG_INF)
+        log_nu = jnp.where(pad_c, log_nu, NEG_INF)
 
     u = jnp.zeros_like(log_mu)
     v = jnp.zeros_like(log_nu)

@@ -56,7 +56,10 @@ def build_pipeline_config(raw: Dict[str, Any]):
     procrustes = ProcrustesConfig(
         sample_rate=float(pr.get("sample_rate", 1.0)),
         max_condition_num=float(pr.get("max_condition_num", 0.0)),
-        use_masked_lengths=(dataset == "4dmatch"),
+        # real (masked) lengths everywhere: the reference's padded lengths
+        # (procrustes.py:61-62) equal real lengths at eval B=1, and OUR
+        # bucket padding must not widen the weight budget (see presets.py)
+        use_masked_lengths=True,
     )
     compute_dtype = raw.get("compute_dtype")  # 'bfloat16' = fast path
     transformer = TransformerConfig(

@@ -162,7 +162,13 @@ def test_attention_layer_parity(ref):
 
 def test_matcher_parity(ref):
     """Matching (sinkhorn) torch vs flax with converted weights: identical
-    conf matrices incl. the src_proj-on-both-sides quirk (matching.py:173-174)."""
+    conf matrices incl. the src_proj-on-both-sides quirk (matching.py:173-174).
+
+    The reference consumes UNPADDED tensors (eval B=1 has no padding); ours
+    consumes padded tensors with masks. Padded marginal mass is excluded on
+    our side (ops/sinkhorn.py), so the comparison is per-element against the
+    reference on the valid slice — padding must be invisible.
+    """
     pipe, _, _, params_flat, _ = ref
     from diffreg_tpu.nn.matching import Matching, MatchingConfig
 
@@ -178,13 +184,16 @@ def test_matcher_parity(ref):
     src_mask = np.ones((b, n), bool); src_mask[0, -4:] = False
     tgt_mask = np.ones((b, s), bool); tgt_mask[1, -6:] = False
 
+    conf_t = np.zeros((b, n, s), np.float32)
     with torch.no_grad():
-        conf_t, _ = pipe.coarse_matching(
-            torch.from_numpy(sf), torch.from_numpy(tf),
-            torch.from_numpy(s_pe), torch.from_numpy(t_pe),
-            torch.from_numpy(src_mask), torch.from_numpy(tgt_mask), {},
-            pe_type="rotary")
-        conf_t = conf_t.numpy()
+        for i in range(b):
+            nv, sv = int(src_mask[i].sum()), int(tgt_mask[i].sum())
+            ct, _ = pipe.coarse_matching(
+                torch.from_numpy(sf[i:i + 1, :nv]), torch.from_numpy(tf[i:i + 1, :sv]),
+                torch.from_numpy(s_pe[i:i + 1, :nv]), torch.from_numpy(t_pe[i:i + 1, :sv]),
+                torch.ones(1, nv, dtype=torch.bool), torch.ones(1, sv, dtype=torch.bool),
+                {}, pe_type="rotary")
+            conf_t[i, :nv, :sv] = ct[0].numpy()
 
     matcher = Matching(MatchingConfig(feature_dim=d))
     params = {

@@ -37,6 +37,24 @@ class TestSinkhorn:
         assert conf[0, :, 3:].max() < 1e-6
         assert conf[0, :4, :3].max() > 1e-3
 
+    def test_padding_invariance(self, rng):
+        """Bucket padding must be invisible: masked sinkhorn over a padded
+        matrix == unmasked sinkhorn over the unpadded matrix. This is the
+        eval-B=1 reference semantic (matching.py:61-93 has no padding there);
+        padded rows/cols must contribute zero marginal mass."""
+        n, m, np_, mp_ = 6, 5, 11, 9
+        scores = rng.randn(1, n, m).astype(np.float32)
+        padded = np.zeros((1, np_, mp_), np.float32)
+        padded[:, :n, :m] = scores
+        src_mask = jnp.asarray(np.arange(np_)[None] < n)
+        tgt_mask = jnp.asarray(np.arange(mp_)[None] < m)
+        conf_ref = np.asarray(ops.sinkhorn_conf_matrix(jnp.asarray(scores), 1.0, 3))
+        conf_pad = np.asarray(ops.sinkhorn_conf_matrix(
+            jnp.asarray(padded), 1.0, 3, src_mask, tgt_mask))
+        np.testing.assert_allclose(conf_pad[:, :n, :m], conf_ref, atol=1e-5)
+        assert conf_pad[:, n:, :].max() < 1e-6
+        assert conf_pad[:, :, m:].max() < 1e-6
+
     def test_matches_torch_reference_formula(self, rng):
         """Cross-check against an independent torch implementation of the
         same marginal scheme (written from the published SuperGlue OT rules,
