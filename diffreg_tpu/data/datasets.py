@@ -97,12 +97,14 @@ class FourDMatchPairDataset:
     reference train split."""
 
     def __init__(self, split_dir: str, *, augment: bool = False,
-                 augment_noise: float = 0.002, max_points: int = 30000, seed: int = 0):
+                 augment_noise: float = 0.002, max_points: int = 30000,
+                 rot_factor: float = 1.0, seed: int = 0):
         self.entries = sorted(glob.glob(os.path.join(split_dir, "**", "*.npz"),
                                         recursive=True))
         self.augment = augment
         self.augment_noise = augment_noise
         self.max_points = max_points
+        self.rot_factor = rot_factor  # reference hardcodes 1.0 (_4dmatch.py:35)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -110,26 +112,57 @@ class FourDMatchPairDataset:
 
     def __getitem__(self, item: int) -> dict:
         with np.load(self.entries[item]) as z:
-            src = z["src_pcd_list"] if "src_pcd_list" in z else z["src_pcd"]
-            tgt = z["tgt_pcd_list"] if "tgt_pcd_list" in z else z["tgt_pcd"]
-            flow = z["s2t_flow"] if "s2t_flow" in z else np.zeros_like(src)
-            rot = z["rot"] if "rot" in z else np.eye(3, dtype=np.float32)
-            trn = z["trans"] if "trans" in z else np.zeros((3, 1), np.float32)
-            metric_index = z["metric_index"] if "metric_index" in z else None
+            def pick(*names):
+                for n in names:
+                    if n in z:
+                        return z[n]
+                return None
+
+            # reference entries use s_pc/t_pc (_4dmatch.py:73-74)
+            src = pick("s_pc", "src_pcd_list", "src_pcd")
+            tgt = pick("t_pc", "tgt_pcd_list", "tgt_pcd")
+            flow = pick("s2t_flow")
+            rot = pick("rot")
+            trn = pick("trans")
+            metric_index = pick("metric_index")
 
         src = np.asarray(src, np.float32)
         tgt = np.asarray(tgt, np.float32)
-        flow = np.asarray(flow, np.float32)
-        rot = np.asarray(rot, np.float32)
-        trn = np.asarray(trn, np.float32).reshape(3, 1)
+        flow = np.zeros_like(src) if flow is None else np.asarray(flow, np.float32)
+        rot = np.eye(3, dtype=np.float32) if rot is None else np.asarray(rot, np.float32)
+        trn = np.zeros((3, 1), np.float32) if trn is None \
+            else np.asarray(trn, np.float32).reshape(3, 1)
+
+        if len(src) > self.max_points:
+            keep = self.rng.permutation(len(src))[:self.max_points]
+            src, flow = src[keep], flow[keep]
+        if len(tgt) > self.max_points:
+            tgt = tgt[self.rng.permutation(len(tgt))[:self.max_points]]
 
         if self.augment:
+            # Reference train aug (_4dmatch.py:109-123): a full random SO(3)
+            # on ONE side (coin flip) with rot/trn recomposition, then
+            # uniform noise on the clouds; the flow is re-derived from the
+            # rotated deformed cloud, so it absorbs the -src_noise term
+            # exactly as the reference does.
+            deformed = src + flow
+            rot_ab = _random_so3(self.rng, self.rot_factor)
+            if self.rng.rand() > 0.5:
+                src = src @ rot_ab.T
+                deformed = deformed @ rot_ab.T
+                rot = rot @ rot_ab.T
+            else:
+                tgt = tgt @ rot_ab.T
+                rot = rot_ab @ rot
+                trn = rot_ab @ trn
             src = src + (self.rng.rand(*src.shape).astype(np.float32) - 0.5) * self.augment_noise
             tgt = tgt + (self.rng.rand(*tgt.shape).astype(np.float32) - 0.5) * self.augment_noise
+            flow = deformed - src
 
         return {"src_pcd": src, "tgt_pcd": tgt, "rot": rot, "trn": trn,
                 "gt_cov": None, "scene_flow": flow,
-                "metric_index": None if metric_index is None else np.asarray(metric_index, np.int64)}
+                "metric_index": None if metric_index is None
+                else np.asarray(metric_index, np.int64).squeeze()}
 
 
 def iterate_batches(dataset, spec, pyr_cfg, batch_size: int, *, shuffle=False,

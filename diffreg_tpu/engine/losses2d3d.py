@@ -176,11 +176,12 @@ def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
     Reference parity (OverallLoss, loss.py:226-238): the total is
     ``weight_c * (circle + gt_hat_focal) + weight_f * fine``; the plain
     focal on conf_matrix_pred is computed for logging only (the reference
-    computes but does not include it). Circle-loss positives come from the
-    MIN overlap ratio (> positive_overlap, sqrt-scaled) and negatives from
-    the MAX overlap ratio (< negative_overlap) scattered densely
-    (loss.py:40-47); when the batch lacks overlap pairs, the binary GT
-    matrix is used for both (degraded mode, synthetic tests only).
+    computes but does not include it). Circle-loss positives AND negatives
+    both come from the MIN overlap ratio (positives > positive_overlap,
+    sqrt-scaled; negatives < negative_overlap): the reference aliases
+    gt_node_corr_max_overlaps to the min overlaps (loss.py:36), and we
+    preserve that numeric behavior. When the batch lacks overlap pairs, the
+    binary GT matrix is used instead (degraded mode, synthetic tests only).
     """
     matrix_gt = outputs["matrix_gt"]
     valid = outputs["node_masks"][:, :, None] & outputs["img_valid_c"][:, None, :]
@@ -189,22 +190,23 @@ def loss_2d3d(outputs, circle_cfg: CircleLossConfig, focal_cfg: LossConfig,
     if batch is not None and getattr(batch, "ov_valid", None) is not None:
         min_ov = scatter_overlaps(batch.ov_src, batch.ov_tgt, batch.ov_min,
                                   batch.ov_valid, n, m)
-        max_ov = scatter_overlaps(batch.ov_src, batch.ov_tgt, batch.ov_max,
-                                  batch.ov_valid, n, m)
     else:
-        min_ov = max_ov = matrix_gt
+        min_ov = matrix_gt
 
-    def one(pcd_f, img_f, mn, mx, nm, iv):
+    def one(pcd_f, img_f, mn, nm, iv):
         dists = normalized_feat_dists(pcd_f, img_f)
         pos = mn > circle_cfg.positive_overlap
         scales = jnp.sqrt(mn * pos.astype(mn.dtype))
-        neg = mx < circle_cfg.negative_overlap
+        # NOTE reference quirk preserved: loss.py:36 aliases
+        # gt_node_corr_max_overlaps to the MIN overlaps, so negatives are
+        # `min_overlap < negative_overlap` — NOT the true max overlap.
+        neg = mn < circle_cfg.negative_overlap
         v = nm[:, None] & iv[None, :]
         return circle_loss(dists, pos & v, neg & v, circle_cfg, scales,
                            row_valid=nm, col_valid=iv)
 
     l_circle = jnp.mean(jax.vmap(one)(
-        outputs["pcd_feats_c"], outputs["img_feats_c"], min_ov, max_ov,
+        outputs["pcd_feats_c"], outputs["img_feats_c"], min_ov,
         outputs["node_masks"], outputs["img_valid_c"]))
 
     l_focal = focal_correspondence_loss(

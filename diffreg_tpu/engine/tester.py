@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..eval.metrics import inlier_ratio, nfmr, registration_recall_success
+from ..eval.metrics import masked_inlier_ratio, nfmr, registration_recall_success
 from ..eval.ransac import ransac_pose
 from ..ops.select import extract_correspondences, thresholded_mutual_argmax_mask
 from ..utils.logging import Logger, SummaryBoard
@@ -47,11 +47,13 @@ def _pair_metrics_3dmatch(out, batch, cfg: TestConfig, rng):
     b = batch.src_mask.shape[0]
 
     def one(conf, corr_mask, s_pcd, t_pcd, rot_gt, trn_gt, gt_cov, key):
+        # IR over ALL matches, mask-based (reference loss.py:382-410);
+        # the fixed-size buffer is only for the RANSAC hypothesis pool
+        ir = masked_inlier_ratio(corr_mask, s_pcd, t_pcd, rot_gt, trn_gt[:, 0],
+                                 inlier_thr=cfg.inlier_thr)
         corrs = extract_correspondences(corr_mask, conf, cfg.max_corr)
         src_c = s_pcd[corrs.src_idx]
         tgt_c = t_pcd[corrs.tgt_idx]
-        ir = inlier_ratio(src_c, tgt_c, corrs.valid, rot_gt, trn_gt[:, 0],
-                          inlier_thr=cfg.inlier_thr)
         res = ransac_pose(key, src_c, tgt_c, corrs.valid,
                           distance_threshold=cfg.ransac_distance_thr,
                           num_hypotheses=cfg.ransac_hypotheses)
@@ -72,30 +74,51 @@ class ThreeDMatchTester:
     """IR / FMR / RR over a test loader (lib/tester.py:37-124 equivalent)."""
 
     def __init__(self, model, variables, cfg: TestConfig = TestConfig(),
-                 logger: Optional[Logger] = None, sample_steps: Optional[int] = None):
+                 logger: Optional[Logger] = None, sample_steps: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — batches are sharded over
+        its 'data' axis and the forward runs SPMD (the DDP-eval equivalent,
+        reference main.py:125-129)."""
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.logger = logger or Logger(None)
-        self._forward = jax.jit(
-            lambda v, b, r: model.apply(v, b, r, mode="ddim"))
+        self.mesh = mesh
+        fwd = lambda v, b, r: model.apply(v, b, r, mode="ddim")
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._forward = jax.jit(
+                fwd, in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                   replicated(mesh)),
+                out_shardings=batch_sharding(mesh))
+        else:
+            self._forward = jax.jit(fwd)
         self._metrics = jax.jit(
             lambda o, b, r: _pair_metrics_3dmatch(o, b, self.cfg, r))
 
     def test(self, make_iter: Callable[[], Iterable], rng=None):
+        """One forward per pair; the ``num_repeats`` averaging re-runs ONLY
+        the pose estimation, matching the reference protocol where the 3
+        repeats exist to tame host-RANSAC nondeterminism (lib/tester.py:19-34)
+        — NOT to resample the diffusion init."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         boards = SummaryBoard()
         results = {"ir": [], "rr": [], "n_corr": []}
         n_pairs = 0
-        for rep in range(self.cfg.num_repeats):
-            for batch, _meta in make_iter():
-                rng, r1, r2 = jax.random.split(rng, 3)
-                out = self._forward(self.variables, batch, r1)
+        for batch, _meta in make_iter():
+            rng, r1 = jax.random.split(rng)
+            out = self._forward(self.variables, batch, r1)
+            rrs = []
+            for rep in range(self.cfg.num_repeats):
+                rng, r2 = jax.random.split(rng)
                 ir, ok, n_corr, rot, trn = self._metrics(out, batch, r2)
-                results["ir"].extend(np.asarray(ir).tolist())
-                results["rr"].extend(np.asarray(ok).tolist())
-                results["n_corr"].extend(np.asarray(n_corr).tolist())
-                n_pairs += len(np.asarray(ir))
+                rrs.append(np.asarray(ok))
+                if rep == 0:
+                    results["ir"].extend(np.asarray(ir).tolist())
+                    results["n_corr"].extend(np.asarray(n_corr).tolist())
+                    n_pairs += len(np.asarray(ir))
+            results["rr"].extend(np.mean(np.stack(rrs), axis=0).tolist())
         irs = np.asarray(results["ir"])
         summary = {
             "IR": float(irs.mean()) if n_pairs else 0.0,
@@ -149,12 +172,22 @@ class FourDMatchTester:
     """
 
     def __init__(self, model, variables, cfg: TestConfig = TestConfig(inlier_thr=0.04),
-                 logger: Optional[Logger] = None):
+                 logger: Optional[Logger] = None, mesh=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.logger = logger or Logger(None)
-        self._forward = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="ddim"))
+        self.mesh = mesh
+        fwd = lambda v, b, r: model.apply(v, b, r, mode="ddim")
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._forward = jax.jit(
+                fwd, in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                   replicated(mesh)),
+                out_shardings=batch_sharding(mesh))
+        else:
+            self._forward = jax.jit(fwd)
 
         def metrics(out, batch):
             conf = out["conf_matrix_pred"]

@@ -35,6 +35,9 @@ class Test2D3DConfig:
     pnp_tolerance_px: float = 8.0
     pnp_hypotheses: int = 8192
     max_fine_corr: int = 2048
+    # PIR GT = overlap-based node correspondences with min overlap above
+    # this (reference EvalFunction, loss.py:258-261; config.py:53)
+    acceptance_overlap: float = 0.3
 
 
 PMR_TIERS = (0.0, 0.1, 0.3, 0.5)    # eval.py:34-37
@@ -189,9 +192,21 @@ class TwoDThreeDTester:
                                          batch.transform[i][None, :3, :3])[0]
                 rte = translation_error(trn[i][None, :, 0],
                                         batch.transform[i][None, :3, 3])[0]
-                pir = float(patch_inlier_ratio(
-                    out["corr_mask"][i], batch.gt_src[i],
-                    batch.gt_tgt[i], batch.gt_valid[i]))
+                # PIR against the OVERLAP-based GT set filtered by
+                # acceptance_overlap (reference EvalFunction loss.py:258-261);
+                # the escalated binary GT is a train-time device, not the
+                # eval protocol — fall back to it only when overlaps are
+                # absent (synthetic demo batches)
+                if getattr(batch, "ov_valid", None) is not None:
+                    ov_ok = batch.ov_valid[i] & \
+                        (batch.ov_min[i] > cfg.acceptance_overlap)
+                    pir = float(patch_inlier_ratio(
+                        out["corr_mask"][i], batch.ov_src[i],
+                        batch.ov_tgt[i], ov_ok))
+                else:
+                    pir = float(patch_inlier_ratio(
+                        out["corr_mask"][i], batch.gt_src[i],
+                        batch.gt_tgt[i], batch.gt_valid[i]))
                 irs.append(float(ir[i]))
                 pirs.append(pir)
                 board.update({
@@ -221,13 +236,28 @@ class TwoDThreeDTester:
         return summary
 
     def _write_cache(self, cache_dir, scene, pair_idx, batch, out, fm, corrs, i):
-        """Per-pair npz prediction cache (reference test.py:57-91)."""
+        """Per-pair npz prediction cache (reference test.py:57-91).
+
+        GT node correspondences are the OVERLAP pairs with their min overlaps
+        (reference caches gt_node_corr_min_overlaps, test.py:82-87) so
+        eval_from_cache can apply acceptance_overlap like EvalFunction; the
+        escalated binary GT is cached only as a fallback when overlaps are
+        absent."""
         os.makedirs(os.path.join(cache_dir, scene), exist_ok=True)
         val = np.asarray(fm["corr_valid"][i])
-        gt_val = np.asarray(batch.gt_valid[i])
         cmask = np.asarray(out["corr_mask"][i])
         pred_src, pred_tgt = np.nonzero(cmask)
         pcd_mask = np.asarray(batch.masks[0][i])
+        if getattr(batch, "ov_valid", None) is not None:
+            ov_val = np.asarray(batch.ov_valid[i])
+            gt_src = np.asarray(batch.ov_src[i])[ov_val]
+            gt_tgt = np.asarray(batch.ov_tgt[i])[ov_val]
+            gt_min_ov = np.asarray(batch.ov_min[i])[ov_val]
+        else:
+            gt_val = np.asarray(batch.gt_valid[i])
+            gt_src = np.asarray(batch.gt_src[i])[gt_val]
+            gt_tgt = np.asarray(batch.gt_tgt[i])[gt_val]
+            gt_min_ov = np.ones(len(gt_src), np.float32)
         np.savez_compressed(
             os.path.join(cache_dir, scene, f"{pair_idx:06d}.npz"),
             pcd_points=np.asarray(batch.points[0][i])[pcd_mask],
@@ -239,8 +269,9 @@ class TwoDThreeDTester:
             img_num_nodes=cmask.shape[1],
             pcd_node_corr_indices=pred_src,
             img_node_corr_indices=pred_tgt,
-            gt_pcd_node_corr_indices=np.asarray(batch.gt_src[i])[gt_val],
-            gt_img_node_corr_indices=np.asarray(batch.gt_tgt[i])[gt_val],
+            gt_pcd_node_corr_indices=gt_src,
+            gt_img_node_corr_indices=gt_tgt,
+            gt_node_corr_min_overlaps=gt_min_ov,
             transform=np.asarray(batch.transform[i]),
             intrinsics=np.asarray(batch.intrinsics[i]),
         )
@@ -268,10 +299,17 @@ def eval_from_cache(cache_dir: str, cfg: Test2D3DConfig = Test2D3DConfig(),
         rres, rtes = [], []
         for fname in sorted(glob.glob(os.path.join(scene_dir, "*.npz"))):
             d = np.load(fname)
+            gt_src = d["gt_pcd_node_corr_indices"]
+            gt_tgt = d["gt_img_node_corr_indices"]
+            if "gt_node_corr_min_overlaps" in d:
+                # EvalFunction protocol: GT = overlap pairs with
+                # min overlap > acceptance_overlap (loss.py:258-261)
+                keep = d["gt_node_corr_min_overlaps"] > cfg.acceptance_overlap
+                gt_src, gt_tgt = gt_src[keep], gt_tgt[keep]
             pir = _sparse_precision(
                 int(d["pcd_num_nodes"]), int(d["img_num_nodes"]),
                 d["pcd_node_corr_indices"], d["img_node_corr_indices"],
-                d["gt_pcd_node_corr_indices"], d["gt_img_node_corr_indices"])
+                gt_src, gt_tgt)
             sb.update({"PIR": pir})
             for tier in PMR_TIERS:
                 key = "PMR>0" if tier == 0.0 else f"PMR>={tier}"

@@ -30,9 +30,16 @@ class OptimConfig:
     momentum: float = 0.93
     weight_decay: float = 1e-6
     scheduler_gamma: float = 0.95   # ExpLR decay per epoch
+    # MUST be the real loader length for gamma^epoch parity with the
+    # reference ExpLR (scheduler.step per epoch, lib/trainer.py);
+    # main.py passes len(dataset)//batch_size
     steps_per_epoch: int = 1000
     grad_accum_steps: int = 1       # iter_size
     max_grad_norm: float = 0.0      # 0 = off
+    # reference validate_gradient SKIPS the optimizer step on any non-finite
+    # gradient (lib/utils.py:96-107, lib/trainer.py:196-200); False restores
+    # the softer zero-NaNs-and-apply behavior
+    skip_nonfinite_updates: bool = True
 
 
 class TrainState(NamedTuple):
@@ -85,11 +92,20 @@ def make_train_step(model, loss_cfg: LossConfig, optim_cfg: OptimConfig) -> Call
             return loss, info
 
         (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        # all-finite flag (reference validate_gradient logs and skips)
         flat = jax.tree.leaves(grads)
         grads_finite = jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in flat]))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if optim_cfg.skip_nonfinite_updates:
+            # reference validate_gradient: a NaN/Inf gradient skips the WHOLE
+            # optimizer step — params, momentum, and schedule stay untouched
+            # (lib/trainer.py:196-200); jnp.where keeps it a single program
+            params = jax.tree.map(
+                lambda new, old: jnp.where(grads_finite, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(grads_finite, new, old),
+                opt_state, state.opt_state)
         info = dict(info)
         info["grads_finite"] = grads_finite
         info["grad_norm"] = optax.global_norm(grads)

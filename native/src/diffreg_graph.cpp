@@ -375,10 +375,11 @@ void graph_compute_pixel_anchors_geodesic(
       float d = node_to_vertex[(size_t)ni * n_vertices + v];
       if (d >= 0.f) cand.push_back({d, ni});
     }
-    int keep = std::min<int>((int)cand.size(), num_anchors);
+    // clamp to the wsum capacity: >64 anchors would smash the stack
+    int keep = std::min<int>(std::min<int>((int)cand.size(), num_anchors), 64);
     std::partial_sort(cand.begin(), cand.begin() + keep, cand.end());
     size_t base = ((size_t)y * width + x) * num_anchors;
-    float wsum[64];  // num_anchors is small (reference uses 4)
+    float wsum[64];  // bounded: num_anchors clamped to 64 at entry
     for (int j = 0; j < keep; ++j) {
       out_anchors[base + j] = cand[j].second;
       wsum[j] = skin_weight(cand[j].first, node_coverage);
@@ -402,10 +403,10 @@ void graph_compute_pixel_anchors_euclidean(
       if (p.z <= 0.f) continue;
       cand.clear();
       for (int ni = 0; ni < n_nodes; ++ni) cand.push_back({sq_dist(p, at(nodes, ni)), ni});
-      int keep = std::min<int>((int)cand.size(), num_anchors);
+      int keep = std::min<int>(std::min<int>((int)cand.size(), num_anchors), 64);
       std::partial_sort(cand.begin(), cand.begin() + keep, cand.end());
       size_t base = ((size_t)y * width + x) * num_anchors;
-      float wsum[64];
+      float wsum[64];  // bounded: num_anchors clamped to 64 at entry
       for (int j = 0; j < keep; ++j) {
         out_anchors[base + j] = cand[j].second;
         wsum[j] = skin_weight(std::sqrt(cand[j].first), node_coverage);

@@ -139,6 +139,57 @@ class TestDatasets:
         assert s["scene_flow"].shape == (300, 3)
         assert s["metric_index"].shape == (50,)
 
+    def test_4dmatch_reader_reference_keys(self, tmp_path, rng):
+        """The released benchmark entries store s_pc/t_pc (_4dmatch.py:73-74)."""
+        from diffreg_tpu.data.datasets import FourDMatchPairDataset
+
+        d = tmp_path / "4dref"
+        os.makedirs(d)
+        np.savez(d / "pair0.npz",
+                 s_pc=rng.rand(120, 3).astype(np.float32),
+                 t_pc=rng.rand(110, 3).astype(np.float32),
+                 s2t_flow=rng.rand(120, 3).astype(np.float32) * 0.05,
+                 rot=np.eye(3, dtype=np.float32),
+                 trans=np.zeros((3, 1), np.float32),
+                 metric_index=np.arange(30)[None])  # squeezed like the reference
+        s = FourDMatchPairDataset(str(d))[0]
+        assert s["src_pcd"].shape == (120, 3)
+        assert s["metric_index"].shape == (30,)
+
+    def test_4dmatch_augmentation_preserves_gt(self, tmp_path, rng):
+        """Train aug parity (_4dmatch.py:109-123): after the random one-sided
+        SO(3) + noise, rot @ (src + flow) + trn must still land on the
+        matching target points within the aug-noise budget, and the rotation
+        must actually move one side."""
+        from diffreg_tpu.data.datasets import FourDMatchPairDataset
+
+        src = rng.rand(200, 3).astype(np.float32)
+        flow = (rng.rand(200, 3).astype(np.float32) - 0.5) * 0.1
+        axis = np.array([0.2, 0.9, -0.4]); axis /= np.linalg.norm(axis)
+        ang = 0.8
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+        rot = (np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)).astype(np.float32)
+        trn = np.array([[0.3], [-0.2], [0.5]], np.float32)
+        tgt = ((src + flow) @ rot.T + trn.T).astype(np.float32)
+
+        d = tmp_path / "4daug"
+        os.makedirs(d)
+        np.savez(d / "pair0.npz", s_pc=src, t_pc=tgt, s2t_flow=flow,
+                 rot=rot, trans=trn)
+        noise = 0.002
+        moved = False
+        for seed in range(4):
+            ds = FourDMatchPairDataset(str(d), augment=True,
+                                       augment_noise=noise, seed=seed)
+            s = ds[0]
+            warped = (s["src_pcd"] + s["scene_flow"]) @ s["rot"].T + s["trn"].T
+            err = np.linalg.norm(warped - s["tgt_pcd"], axis=1)
+            # exact up to the target-side uniform noise (+/- noise/2 per axis)
+            assert err.max() < noise * 2.0, err.max()
+            moved |= np.abs(s["src_pcd"] - src).max() > 0.05 \
+                or np.abs(s["tgt_pcd"] - tgt).max() > 0.05
+        assert moved  # the SO(3) rotation must actually be applied
+
     def test_iterate_batches(self, tmp_path, rng):
         from diffreg_tpu.data import PyramidConfig, tiny_spec
         from diffreg_tpu.data.datasets import iterate_batches
@@ -244,6 +295,41 @@ class TestEvalStep:
                                    OptimConfig(optimizer="adam", lr=1e-4))
         info = jax.jit(make_eval_step(model, LossConfig()))(state, batch, rng)
         assert np.isfinite(float(info["loss"]))
+
+
+class TestNonFiniteGradSkip:
+    def test_nan_batch_skips_update(self):
+        """Reference validate_gradient semantics (lib/utils.py:96-107): a
+        non-finite gradient leaves params AND optimizer state untouched."""
+        import jax
+        import jax.numpy as jnp
+
+        from diffreg_tpu.data import synthetic_batch
+        from diffreg_tpu.engine import (LossConfig, OptimConfig,
+                                        create_train_state, make_train_step)
+        from diffreg_tpu.models import DiffusionMatchingModel
+        from diffreg_tpu.models.presets import preset_tiny
+
+        batch, _, _ = synthetic_batch(batch_size=1, n_points=64, seed=0)
+        model = DiffusionMatchingModel(preset_tiny("3dmatch", sample_steps=1))
+        rng = jax.random.PRNGKey(0)
+        ocfg = OptimConfig(optimizer="sgd", lr=0.1)
+        state = create_train_state(model, batch, rng, ocfg)
+        step = jax.jit(make_train_step(model, LossConfig(), ocfg))
+
+        bad = batch._replace(features=batch.features.at[0, 0, 0].set(jnp.nan))
+        new_state, info = step(state, bad, rng)
+        assert not bool(info["grads_finite"])
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # sanity: a clean batch DOES update
+        new_state2, info2 = step(state, batch, rng)
+        assert bool(info2["grads_finite"])
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(state.params),
+                                 jax.tree.leaves(new_state2.params))]
+        assert max(diffs) > 0
 
 
 class TestConfigFastPath:

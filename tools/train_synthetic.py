@@ -99,11 +99,14 @@ def main():
     print(f"held-out success@5deg before training: {s0:.2f}", flush=True)
 
     deadline = time.time() + minutes * 60.0
-    keys = jax.random.split(rng, 200_000)
+    # materialize step keys to HOST once: indexing a device array per
+    # iteration is an eager dispatch (~30-190 ms/call on the tunneled
+    # backend, see .claude/skills/verify/SKILL.md)
+    keys = np.asarray(jax.random.split(rng, 200_000))
     i = 0
     t0 = time.time()
     while time.time() < deadline:
-        state, info = step(state, pool[i % n_pool], keys[i])
+        state, info = step(state, pool[i % n_pool], jnp.asarray(keys[i]))
         i += 1
         if i % 200 == 0:
             loss = float(info["loss"])           # readback barrier
