@@ -144,6 +144,41 @@ class TestThreeDMatchCLI:
         # full CLI path on disk-backed data
 
 
+class TestMeshCLI:
+    """CLI auto-data-parallelism (VERDICT r2 item 3): with 8 virtual devices
+    and a divisible batch size, main.py builds the mesh train/eval steps;
+    demo train + test must run unchanged."""
+
+    def test_demo_train_on_mesh(self, tmp_path):
+        assert jax.device_count() == 8
+        tree = _tiny_model_yaml({
+            "mode": "train", "max_epoch": 1, "lr": 1e-4, "batch_size": 8,
+            "SAMPLE_STEP": 1,
+            "exp_dir": f"smokemesh-{os.getpid()}",
+        })
+        cfg_path = tmp_path / "mesh_train.yaml"
+        _write_yaml(cfg_path, tree)
+
+        from diffreg_tpu.main import main
+
+        main(["--config", str(cfg_path), "--demo", "--num-pairs", "8"])
+        import glob as _glob
+
+        assert _glob.glob(f"snapshot/smokemesh-{os.getpid()}/checkpoints/*")
+
+    def test_demo_test_on_mesh(self, tmp_path):
+        tree = _tiny_model_yaml({
+            "batch_size": 8, "SAMPLE_STEP": 1,
+            "exp_dir": f"smokemesht-{os.getpid()}",
+        })
+        cfg_path = tmp_path / "mesh_test.yaml"
+        _write_yaml(cfg_path, tree)
+
+        from diffreg_tpu.main import main
+
+        main(["--config", str(cfg_path), "--demo", "--num-pairs", "8"])
+
+
 class TestTrainValCLI:
     def test_train_with_val_loop(self, tmp_path, rng):
         """One training epoch + the validation loop through the CLI
