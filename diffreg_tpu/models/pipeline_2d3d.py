@@ -96,7 +96,7 @@ class Pipeline2D3DConfig:
     fusion_blocks: Tuple[str, ...] = ("self", "cross") * 3
     matching: MatchingConfig = MatchingConfig(feature_dim=256, confidence_threshold=0.2)
     coarse_stride: int = 8          # image patch grid = 1/8 resolution
-    pcd_num_points_in_patch: int = 32
+    pcd_num_points_in_patch: int = 128   # reference config.py:84
     pcd_min_node_size: int = 5
     timesteps: int = 1000
     sample_steps: int = 10          # SAMPLE_STEP (=50 rgbdv2, =10 7scenes)
@@ -157,8 +157,10 @@ class DiffReg2D3D(nn.Module):
         img_fine = img_feats_list[0]                      # [B, H, W, C]
         img_coarse_map = img_feats_list[-1]               # [B, H/8, W/8, 4C]
 
-        img_feats_c = jax.image.resize(
-            img_coarse_map, (b, hc, wc, img_coarse_map.shape[-1]), "bilinear")
+        # reference F.interpolate(..., align_corners=True) (model.py:375)
+        from ..ops.vision import resize_align_corners
+
+        img_feats_c = resize_align_corners(img_coarse_map, (hc, wc))
         img_feats_c = img_feats_c.reshape(b, hc * wc, -1)
 
         pix_norm = create_meshgrid(hc, wc, normalized=True, flatten=True)
@@ -174,8 +176,9 @@ class DiffReg2D3D(nn.Module):
 
         dino_tokens = None
         if cfg.use_dino:
-            dino_tokens = jax.image.resize(
-                dino, (b, hc, wc, dino.shape[-1]), "bilinear").reshape(b, hc * wc, -1)
+            # identity when the coarse grid IS the DINO grid (stride 14)
+            dino_tokens = resize_align_corners(
+                dino, (hc, wc)).reshape(b, hc * wc, -1)
 
         return {
             "img_feats_f": img_fine,

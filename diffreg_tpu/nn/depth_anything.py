@@ -39,24 +39,7 @@ class DPTConfig:
     n_taps: int = 4          # get_intermediate_layers(x, 4): LAST 4 blocks
 
 
-def resize_align_corners(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with torch align_corners=True semantics ([B,H,W,C]).
-
-    jax.image.resize uses half-pixel centers (align_corners=False), so the
-    DPT path implements the align_corners grid via map_coordinates.
-    """
-    b, h, w, c = x.shape
-    nh, nw = hw
-    if (nh, nw) == (h, w):
-        return x
-    rows = jnp.linspace(0.0, h - 1.0, nh)
-    cols = jnp.linspace(0.0, w - 1.0, nw)
-    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
-
-    def one(img):  # [H, W]
-        return jax.scipy.ndimage.map_coordinates(img, [rr, cc], order=1)
-
-    return jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1), in_axes=0)(x)
+from ..ops.vision import resize_align_corners  # shared align-corners resize
 
 
 class ResidualConvUnit(nn.Module):

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.vision import resize_align_corners
 from .layers2d3d import ConvBlock
 
 
@@ -33,8 +34,10 @@ class BasicBlock(nn.Module):
 
 
 def _resize_to(x, ref_hw):
-    return jax.image.resize(x, (x.shape[0], ref_hw[0], ref_hw[1], x.shape[3]),
-                            method="bilinear")
+    # reference decoder interpolations are align_corners=True
+    # (image_backbone.py:193-213) — half-pixel bilinear would shift every
+    # upsampled map by a sub-pixel amount
+    return resize_align_corners(x, tuple(ref_hw))
 
 
 class ImageBackbone(nn.Module):

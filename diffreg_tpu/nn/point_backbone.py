@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.partition import knn_interpolate
+from ..ops.partition import knn_interpolate_from_table
 from .kpfcn import KPConvLayer, KPFCNConfig, NormBlock, UnaryBlock, _leaky
 
 
@@ -98,12 +98,16 @@ class PointBackbone(nn.Module):
         f3 = _KPResidual(d * 4, d * 8, 4 * r, 4 * s, kcfg)(pts[2], pts[2], f3, neigh[2], masks[2], masks[2])
         f3 = _KPResidual(d * 8, d * 8, 4 * r, 4 * s, kcfg)(pts[2], pts[2], f3, neigh[2], masks[2], masks[2])
 
-        interp = jax.vmap(knn_interpolate, in_axes=(0, 0, 0, 0, 0))
-        l2 = interp(pts[1], pts[2], f3, masks[1], masks[2])
+        # decoder interpolation uses the pyramid's UPSAMPLING tables with
+        # inverse-squared-distance weights over all entries (vision3d
+        # knn_interpolate_pack_mode) — not a fixed-k nearest-neighbor search
+        ups = pyr["upsamples"]
+        interp = jax.vmap(knn_interpolate_from_table, in_axes=(0, 0, 0, 0))
+        l2 = interp(pts[1], pts[2], f3, ups[1])
         l2 = jnp.concatenate([l2, f2], axis=-1)
         l2 = UnaryBlock(d * 4, True)(l2, masks[1])
 
-        l1 = interp(pts[0], pts[1], l2, masks[0], masks[1])
+        l1 = interp(pts[0], pts[1], l2, ups[0])
         l1 = jnp.concatenate([l1, f1], axis=-1)
         l1 = UnaryBlock(d * 2, True)(l1, masks[0])
         l1 = nn.Dense(c.output_dim, name="out_proj")(l1)

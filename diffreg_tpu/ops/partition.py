@@ -70,6 +70,26 @@ def knn_interpolate(q_pts, s_pts, s_feats, q_valid, s_valid, k=3, eps=1e-10):
     return out * q_valid[:, None]
 
 
+def knn_interpolate_from_table(q_pts, s_pts, s_feats, table, eps=1e-8):
+    """Inverse-SQUARED-distance interpolation over a precomputed neighbor
+    table (vision3d knn_interpolate_pack_mode, knn_interpolate.py:44-79):
+    weights = mask / (d^2 + eps), normalized with +eps — the reference
+    decoder consumes the pyramid's upsampling tables this way, using ALL
+    table entries, not a fixed k.
+
+    table: [Nq, K] int32 with sentinel >= len(s_pts) for missing entries.
+    """
+    ns = s_pts.shape[0]
+    safe = jnp.minimum(table, ns - 1)
+    knn_pts = s_pts[safe]                               # [Nq, K, 3]
+    knn_feats = s_feats[safe]                           # [Nq, K, C]
+    d2 = jnp.sum((q_pts[:, None, :] - knn_pts) ** 2, axis=-1)
+    mask = (table < ns).astype(s_feats.dtype)
+    w = mask / (d2 + eps)
+    w = w / (jnp.sum(w, axis=1, keepdims=True) + eps)
+    return jnp.sum(knn_feats * w[..., None], axis=1)
+
+
 def batch_mutual_topk_select(score_mat, k, valid_row=None, valid_col=None,
                              threshold=None, largest=True, mutual=True):
     """Batched mutual top-k: [B, N, M] -> bool corr mask [B, N, M]

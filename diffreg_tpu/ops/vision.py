@@ -15,19 +15,51 @@ import jax.numpy as jnp
 
 
 def create_meshgrid(height, width, normalized=False, flatten=False, centered=False):
-    """Pixel coordinate grid [H, W, 2] in (v, u) order."""
-    v = jnp.arange(height, dtype=jnp.float32)
-    u = jnp.arange(width, dtype=jnp.float32)
-    if centered:
-        v = v + 0.5
-        u = u + 0.5
-    if normalized:
-        v = v / height
-        u = u / width
+    """Pixel coordinate grid [H, W, 2] in (v, u) order.
+
+    Normalized non-centered coordinates are an INCLUSIVE linspace over
+    [0, 1] — the reference uses torch.linspace(0, 1, steps=H) there
+    (vision3d/ops/meshgrid.py:18-22), which feeds the fusion module's
+    Fourier embeddings; arange/H would shift every embedding.
+    """
+    if normalized and not centered:
+        v = jnp.linspace(0.0, 1.0, height)
+        u = jnp.linspace(0.0, 1.0, width)
+    else:
+        v = jnp.arange(height, dtype=jnp.float32)
+        u = jnp.arange(width, dtype=jnp.float32)
+        if centered:
+            v = v + 0.5
+            u = u + 0.5
+        if normalized:
+            v = v / height
+            u = u / width
     grid = jnp.stack(jnp.meshgrid(v, u, indexing="ij"), axis=-1)  # [H, W, 2]
     if flatten:
         grid = grid.reshape(-1, 2)
     return grid
+
+
+def resize_align_corners(x, hw):
+    """Bilinear resize with torch align_corners=True semantics ([B,H,W,C]).
+
+    jax.image.resize uses half-pixel centers (align_corners=False); the
+    reference image paths interpolate with align_corners=True
+    (image_backbone.py:193-213, model.py:375), so the grid is built
+    explicitly and sampled via map_coordinates.
+    """
+    b, h, w, c = x.shape
+    nh, nw = hw
+    if (nh, nw) == (h, w):
+        return x
+    rows = jnp.linspace(0.0, h - 1.0, nh)
+    cols = jnp.linspace(0.0, w - 1.0, nw)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+
+    def one(img):  # [H, W]
+        return jax.scipy.ndimage.map_coordinates(img, [rr, cc], order=1)
+
+    return jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1), in_axes=0)(x)
 
 
 def back_project(depth, intrinsics, depth_limit=6.0, depth_min=0.0):
