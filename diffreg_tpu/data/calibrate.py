@@ -93,3 +93,78 @@ def calibrate_spec(
         n_tgt=n_tgt,
         n_gt_matches=max(64, min(n_src, n_tgt)),
     )
+
+
+def calibrate_spec_2d3d(
+    clouds: Sequence[np.ndarray],
+    *,
+    init_radius: float = 0.0625,
+    neighbor_percentile: float = 90.0,
+    headroom: float = 1.3,
+    round_points: int = 256,
+    k_cap: int = 64,
+    max_query_sample: int = 2000,
+    **spec_overrides,
+):
+    """Measure the 2D-3D cloud pyramid over calibration samples -> Spec2D3D.
+
+    The 2D-3D twin of :func:`calibrate_spec` (reference
+    vision3d/utils/dataloader.py:42-70 ``calibrate_neighbors`` — the same
+    neighborhood-size histogram, plus the padded level sizes a static-shape
+    TPU program needs). Only the cloud side needs calibration: the image
+    side's token counts are fixed by the crop (H/stride * W/stride).
+
+    ``clouds``: raw level-0 point clouds (dataset reader output, already
+    capped at max_points).
+    """
+    from scipy.spatial import cKDTree
+
+    from .collate2d3d import Spec2D3D
+
+    L = 3
+    level_sizes = np.zeros((len(clouds), L), np.int64)
+    neigh_counts: List[List[int]] = [[] for _ in range(L)]
+    pool_counts: List[List[int]] = [[] for _ in range(L - 1)]
+    up_counts: List[List[int]] = [[] for _ in range(L - 1)]
+
+    from ..ops.subsample import grid_subsample_np
+
+    for pi, cloud in enumerate(clouds):
+        levels = [np.asarray(cloud, np.float32)]
+        r = init_radius
+        radii = [r]
+        for _ in range(L - 1):
+            dl = 2 * r / 2.5
+            levels.append(grid_subsample_np(levels[-1], dl))
+            r *= 2
+            radii.append(r)
+
+        for l in range(L):
+            level_sizes[pi, l] = len(levels[l])
+            tree = cKDTree(levels[l])
+            q = levels[l][np.random.RandomState(0).permutation(
+                len(levels[l]))[:max_query_sample]]
+            neigh_counts[l].extend(map(len, tree.query_ball_point(q, radii[l])))
+            if l < L - 1:
+                tree = cKDTree(levels[l])
+                q = levels[l + 1][np.random.RandomState(0).permutation(
+                    len(levels[l + 1]))[:max_query_sample]]
+                pool_counts[l].extend(map(len, tree.query_ball_point(q, radii[l])))
+                tree = cKDTree(levels[l + 1])
+                q = levels[l][np.random.RandomState(0).permutation(
+                    len(levels[l]))[:max_query_sample]]
+                up_counts[l].extend(map(len, tree.query_ball_point(q, 2 * radii[l])))
+
+    def pct(counts):
+        return int(np.clip(np.percentile(counts, neighbor_percentile), 1, k_cap))
+
+    n_points = tuple(_round_up(int(level_sizes[:, l].max() * headroom), round_points)
+                     for l in range(L))
+    return Spec2D3D(
+        n_points=n_points,
+        k_neighbors=tuple(pct(neigh_counts[l]) for l in range(L)),
+        k_pools=tuple(pct(pool_counts[l]) for l in range(L - 1)),
+        k_upsamples=tuple(min(pct(up_counts[l]), 8) for l in range(L - 1)),
+        init_radius=init_radius,
+        **spec_overrides,
+    )

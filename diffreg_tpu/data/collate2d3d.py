@@ -53,18 +53,23 @@ def _render_np(points_cam: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
     return np.stack([v, u], -1).astype(np.float32)
 
 
-def _node_knn(points: np.ndarray, nodes: np.ndarray, k: int):
+def _node_knn(points: np.ndarray, nodes: np.ndarray, k: int,
+              return_sizes: bool = False):
     """Per-node k nearest member points (point_to_node partition semantics,
     vision3d/ops/point_cloud_partition.py:41-105): each fine point belongs to
-    its nearest node; each node keeps its k nearest members."""
+    its nearest node; each node keeps its k nearest members. ``return_sizes``
+    additionally returns the FULL (uncapped) member count per node — the
+    reference's node_sizes used by the min-size validity gate."""
     from scipy.spatial import cKDTree
 
     n = len(nodes)
     _, p2n = cKDTree(nodes).query(points, k=1)
     knn_idx = np.zeros((n, k), np.int64)
     knn_mask = np.zeros((n, k), bool)
+    sizes = np.zeros(n, np.int64)
     for ni in range(n):
         members = np.nonzero(p2n == ni)[0]
+        sizes[ni] = len(members)
         if len(members) == 0:
             continue
         d = np.linalg.norm(points[members] - nodes[ni], axis=-1)
@@ -72,6 +77,8 @@ def _node_knn(points: np.ndarray, nodes: np.ndarray, k: int):
         m = len(order)
         knn_idx[ni, :m] = members[order]
         knn_mask[ni, :m] = True
+    if return_sizes:
+        return knn_idx, knn_mask, sizes
     return knn_idx, knn_mask
 
 
@@ -89,6 +96,7 @@ def node_patch_overlaps(
     num_points_in_patch: int = 128,
     patch_subsample: int = 2,
     max_pairs: int = 1024,
+    min_node_size: int = 5,
 ):
     """GT node<->patch dual overlap ratios — host twin of the reference
     get_2d3d_node_correspondences (experiments utils.py:59-173):
@@ -117,13 +125,17 @@ def node_patch_overlaps(
     FAR = 1e6
 
     # --- pcd side: node knn in camera frame + rendered pixels ---
-    knn_idx, pcd_knn_masks = _node_knn(points, nodes, num_points_in_patch)
+    knn_idx, pcd_knn_masks, node_sizes = _node_knn(
+        points, nodes, num_points_in_patch, return_sizes=True)
     cam_pts = points @ transform[:3, :3].T + transform[:3, 3]
     pcd_knn_points = cam_pts[knn_idx]                         # [N, Kc, 3]
     pcd_knn_points[~pcd_knn_masks] = FAR
     pcd_knn_pixels = _render_np(
         pcd_knn_points.reshape(-1, 3), intrinsics).reshape(len(nodes), -1, 2)
-    pcd_masks = pcd_knn_masks.any(-1)
+    # node validity mirrors the model: any member AND the min-size gate
+    # (reference model.py:403-412 filters pcd_node_masks by
+    # node_sizes > pcd_min_node_size BEFORE the GT machinery)
+    pcd_masks = pcd_knn_masks.any(-1) & (node_sizes > min_node_size)
 
     # --- img side: patchify with a stride-subsample pixel subset ---
     vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -375,10 +387,13 @@ def build_2d3d_sample(raw: dict, spec: Spec2D3D, coarse_stride: int = 8,
             ups_l.append(pad_to(ui, cap, fill=spec.n_points[l + 1]))
 
     # --- patch centers (real depth) for the escalated coarse GT ---
+    # stride-2 pixel subset per patch like the reference patchify
+    # (model.py patchify(..., stride=2)); the escalation compares nodes
+    # against img_pcd_centers_c, which are means over that subset
     nodes = levels[2]
     hc, wc = h // coarse_stride, w // coarse_stride
-    centers = img_points.reshape(hc, coarse_stride, wc, coarse_stride, 3)
-    val = img_valid.reshape(hc, coarse_stride, wc, coarse_stride)
+    centers = img_points.reshape(hc, coarse_stride, wc, coarse_stride, 3)[:, ::2, :, ::2]
+    val = img_valid.reshape(hc, coarse_stride, wc, coarse_stride)[:, ::2, :, ::2]
     cnt = np.maximum(val.sum((1, 3)), 1)[..., None]
     centers = (centers * val[..., None]).sum((1, 3)) / cnt
     centers = centers.reshape(hc * wc, 3)

@@ -56,6 +56,7 @@ class RGBDScenes2D3DPairDataset:
     points, feats, overlap, ids}."""
 
     crop_hw = (476, 630)
+    metadata_fmt = "{subset}.pkl"
 
     def __init__(self, dataset_dir: str, subset: str, *, max_points: Optional[int] = 30000,
                  scene_name: Optional[str] = None, overlap_threshold: Optional[float] = None,
@@ -63,7 +64,8 @@ class RGBDScenes2D3DPairDataset:
                  seed: int = 0):
         self.dataset_dir = dataset_dir
         self.data_dir = os.path.join(dataset_dir, "data")
-        meta = os.path.join(dataset_dir, "metadata", f"{subset}.pkl")
+        meta = os.path.join(dataset_dir, "metadata",
+                            self.metadata_fmt.format(subset=subset))
         with open(meta, "rb") as f:
             self.metadata = pickle.load(f)
         if scene_name is not None:
@@ -128,6 +130,8 @@ class RGBDScenes2D3DPairDataset:
 
 
 class SevenScenes2D3DPairDataset(RGBDScenes2D3DPairDataset):
-    """7Scenes twin — same metadata/data layout, different crop."""
+    """7Scenes twin (sevenscenes_hard.py:29-142) — same data layout and the
+    same 476x630 top-left crop; only the metadata list name differs
+    (``{subset}-full.pkl``, sevenscenes_hard.py:55)."""
 
-    crop_hw = (476, 630)
+    metadata_fmt = "{subset}-full.pkl"

@@ -40,6 +40,10 @@ class TestConfig:
     match_thr: float = 0.55          # 4DMatch get_match threshold (README.md:25)
     max_corr: int = 1024
     nfmr_recall_thr: float = 0.04
+    # "device" = on-device parallel RANSAC (the pairs/sec path);
+    # "open3d" = the reference's host estimator (models/loss.py:13-24) for
+    # protocol-exact metric-audit runs (requires open3d installed)
+    pose_backend: str = "device"
 
 
 def _pair_metrics_3dmatch(out, batch, cfg: TestConfig, rng):
@@ -70,7 +74,56 @@ def _pair_metrics_3dmatch(out, batch, cfg: TestConfig, rng):
                          batch.rot_gt, batch.trn_gt, batch.gt_cov, keys)
 
 
-class ThreeDMatchTester:
+def _np_recall_success(rot, trn, rot_gt, trn_gt, cov, thr=0.2):
+    """Host twin of registration_recall_success (loss.py:27-44): covariance
+    transform error on the gt-relative pose, quaternion xyz + translation."""
+    rel_r = rot_gt.T @ rot
+    rel_t = rot_gt.T @ (trn - trn_gt)
+    # scalar-first quaternion with non-negative scalar (nibabel mat2quat)
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(rel_r).as_quat()        # (x, y, z, w)
+    xyz = q[:3] if q[3] >= 0 else -q[:3]
+    er = np.concatenate([rel_t[:, 0], xyz])
+    p = float(er @ cov @ er / cov[0, 0])
+    return p <= thr**2
+
+
+class _HostPoseMixin:
+    """Host (Open3D) pose path shared by the testers — the reference's
+    protocol-exact estimator for metric-audit runs (models/loss.py:13-24)."""
+
+    def _host_pose_batch(self, out, batch):
+        from ..eval.host_estimators import ransac_pose_open3d
+
+        ir, src_c, tgt_c, valid = map(np.asarray,
+                                      self._corrs(out, batch))
+        rot_gt = np.asarray(batch.rot_gt)
+        trn_gt = np.asarray(batch.trn_gt)
+        gt_cov = np.asarray(batch.gt_cov)
+        irs, rrs, ncs = [], [], []
+        for i in range(len(ir)):
+            v = valid[i]
+            n = int(v.sum())
+            ncs.append(n)
+            irs.append(float(ir[i]))
+            if n < 3:
+                rrs.append(0.0)
+                continue
+            oks = []
+            for _rep in range(self.cfg.num_repeats):
+                pairs = np.stack([np.arange(n)] * 2, axis=1)
+                tfm = ransac_pose_open3d(
+                    src_c[i][v], tgt_c[i][v], pairs,
+                    distance_threshold=self.cfg.ransac_distance_thr)
+                oks.append(float(_np_recall_success(
+                    tfm[:3, :3], tfm[:3, 3:4], rot_gt[i], trn_gt[i],
+                    gt_cov[i], thr=self.cfg.registration_thr)))
+            rrs.append(float(np.mean(oks)))
+        return irs, rrs, ncs
+
+
+class ThreeDMatchTester(_HostPoseMixin):
     """IR / FMR / RR over a test loader (lib/tester.py:37-124 equivalent)."""
 
     def __init__(self, model, variables, cfg: TestConfig = TestConfig(),
@@ -96,6 +149,18 @@ class ThreeDMatchTester:
             self._forward = jax.jit(fwd)
         self._metrics = jax.jit(
             lambda o, b, r: _pair_metrics_3dmatch(o, b, self.cfg, r))
+        # host-backend path: device IR + corr buffers, pose on host
+        cfg_ = self.cfg
+
+        def corr_one(conf, corr_mask, s_pcd, t_pcd, rot_gt, trn_gt):
+            ir = masked_inlier_ratio(corr_mask, s_pcd, t_pcd, rot_gt,
+                                     trn_gt[:, 0], inlier_thr=cfg_.inlier_thr)
+            corrs = extract_correspondences(corr_mask, conf, cfg_.max_corr)
+            return ir, s_pcd[corrs.src_idx], t_pcd[corrs.tgt_idx], corrs.valid
+
+        self._corrs = jax.jit(lambda o, b: jax.vmap(corr_one)(
+            o["conf_matrix_pred"], o["corr_mask"], o["s_pcd"], o["t_pcd"],
+            b.rot_gt, b.trn_gt))
 
     def test(self, make_iter: Callable[[], Iterable], rng=None):
         """One forward per pair; the ``num_repeats`` averaging re-runs ONLY
@@ -109,6 +174,13 @@ class ThreeDMatchTester:
         for batch, _meta in make_iter():
             rng, r1 = jax.random.split(rng)
             out = self._forward(self.variables, batch, r1)
+            if self.cfg.pose_backend == "open3d":
+                ir, rr, n_corr = self._host_pose_batch(out, batch)
+                results["ir"].extend(ir)
+                results["n_corr"].extend(n_corr)
+                results["rr"].extend(rr)
+                n_pairs += len(ir)
+                continue
             rrs = []
             for rep in range(self.cfg.num_repeats):
                 rng, r2 = jax.random.split(rng)

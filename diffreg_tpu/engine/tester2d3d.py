@@ -38,6 +38,10 @@ class Test2D3DConfig:
     # PIR GT = overlap-based node correspondences with min overlap above
     # this (reference EvalFunction, loss.py:258-261; config.py:53)
     acceptance_overlap: float = 0.3
+    # "device" = on-device parallel PnP-RANSAC (the pairs/sec path);
+    # "opencv" = cv2.solvePnPRansac, the reference's protocol-exact
+    # estimator (vision3d/utils/opencv.py:10-60) for metric-audit runs
+    pnp_backend: str = "device"
 
 
 PMR_TIERS = (0.0, 0.1, 0.3, 0.5)    # eval.py:34-37
@@ -89,6 +93,32 @@ def registration_rmse(pcd_points, valid, est_rot, est_trn, transform):
     d2 = jnp.sum((est - gt) ** 2, axis=-1)
     n = jnp.maximum(valid.sum(), 1)
     return jnp.sqrt(jnp.sum(jnp.where(valid, d2, 0.0)) / n)
+
+
+def _host_pnp_batch(fm, batch, cfg: Test2D3DConfig):
+    """cv2.solvePnPRansac per pair on the fine correspondences — the
+    reference estimator (vision3d/utils/opencv.py:10-60). Our pixel buffers
+    are already (u, v) ordered, so ``transposed=False``. Falls back to
+    identity when cv2 fails or <4 correspondences (reference returns None
+    and the pair scores RR=0)."""
+    from ..eval.host_estimators import pnp_pose_opencv
+
+    val = np.asarray(fm["corr_valid"])
+    pts = np.asarray(fm["pcd_corr_points"])
+    pix = np.asarray(fm["img_corr_pixels"])
+    intr = np.asarray(batch.intrinsics)
+    b = val.shape[0]
+    rot = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    trn = np.zeros((b, 3, 1), np.float32)
+    for i in range(b):
+        v = val[i]
+        tfm = pnp_pose_opencv(pts[i][v], pix[i][v], intr[i],
+                              distance_tolerance=cfg.pnp_tolerance_px,
+                              transposed=False)
+        if tfm is not None:
+            rot[i] = tfm[:3, :3]
+            trn[i] = tfm[:3, 3:4]
+    return jnp.asarray(rot), jnp.asarray(trn)
 
 
 def _scene_of(meta_entry) -> str:
@@ -184,6 +214,8 @@ class TwoDThreeDTester:
                 corrs.src_idx, corrs.tgt_idx, corrs.valid,
                 part.node_knn_indices, part.node_knn_masks,
                 batch.transform, batch.intrinsics, keys)
+            if cfg.pnp_backend == "opencv":
+                rot, trn = _host_pnp_batch(fm, batch, cfg)
 
             for i in range(b):
                 rmse = registration_rmse(batch.points[0][i], batch.masks[0][i],
@@ -337,19 +369,31 @@ def eval_from_cache(cache_dir: str, cfg: Test2D3DConfig = Test2D3DConfig(),
             # registration via PnP re-run on the cached correspondences
             rr = 0.0
             if len(pcd_c) >= 4:
-                buf = cfg.max_fine_corr
-                p3 = np.zeros((buf, 3), np.float32)
-                px = np.zeros((buf, 2), np.float32)
-                vv = np.zeros(buf, bool)
-                n = min(len(pcd_c), buf)
-                order = np.argsort(-scores)[:n]
-                p3[:n], px[:n], vv[:n] = pcd_c[order], pix_c[order], True
-                rng, k = jax.random.split(rng)
-                res = pnp_ransac(k, jnp.asarray(p3), jnp.asarray(px),
-                                 jnp.asarray(vv), jnp.asarray(d["intrinsics"]),
-                                 distance_tolerance=cfg.pnp_tolerance_px,
-                                 num_hypotheses=cfg.pnp_hypotheses)
-                rot, trn = np.asarray(res.rotation), np.asarray(res.translation)
+                if cfg.pnp_backend == "opencv":
+                    from ..eval.host_estimators import pnp_pose_opencv
+
+                    tfm_est = pnp_pose_opencv(
+                        pcd_c, pix_c, d["intrinsics"],
+                        distance_tolerance=cfg.pnp_tolerance_px,
+                        transposed=False)
+                    if tfm_est is None:
+                        tfm_est = np.eye(4)
+                    rot = tfm_est[:3, :3].astype(np.float32)
+                    trn = tfm_est[:3, 3:4].astype(np.float32)
+                else:
+                    buf = cfg.max_fine_corr
+                    p3 = np.zeros((buf, 3), np.float32)
+                    px = np.zeros((buf, 2), np.float32)
+                    vv = np.zeros(buf, bool)
+                    n = min(len(pcd_c), buf)
+                    order = np.argsort(-scores)[:n]
+                    p3[:n], px[:n], vv[:n] = pcd_c[order], pix_c[order], True
+                    rng, k = jax.random.split(rng)
+                    res = pnp_ransac(k, jnp.asarray(p3), jnp.asarray(px),
+                                     jnp.asarray(vv), jnp.asarray(d["intrinsics"]),
+                                     distance_tolerance=cfg.pnp_tolerance_px,
+                                     num_hypotheses=cfg.pnp_hypotheses)
+                    rot, trn = np.asarray(res.rotation), np.asarray(res.translation)
                 pts = d["pcd_points"]
                 est = pts @ rot.T + trn.reshape(1, 3)
                 gt = pts @ tfm[:3, :3].T + tfm[:3, 3]

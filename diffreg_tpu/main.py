@@ -61,6 +61,18 @@ def main(argv=None):
         from .ops.topk import set_exact_topk
 
         set_exact_topk(bool(raw["exact_topk"]))
+    # parity_eval: protocol-exact metric-audit mode — host pose estimators
+    # (open3d RANSAC / cv2 PnP, the reference's, VERDICT r2 item 7), exact
+    # top-k and HIGHEST-precision matmuls in one switch
+    if raw.get("parity_eval"):
+        from .ops.topk import set_exact_topk
+        from .utils.precision import set_precision
+
+        set_exact_topk(True)
+        set_precision("highest")
+        raw.setdefault("eval", {})
+        raw["eval"].setdefault("pose_backend", "open3d")
+        raw["eval"].setdefault("pnp_backend", "opencv")
     mode = args.mode or raw.get("mode", "test")
     batch_size = args.batch_size or int(raw.get("batch_size", 1))
     dataset_name = str(raw.get("dataset", "3dmatch"))
@@ -224,17 +236,27 @@ def main(argv=None):
                 f"refusing a metric run on real data with random weights: "
                 f"pretrain={pretrain!r} not found. Pass a valid 'pretrain' in "
                 "the config, or use --demo for a synthetic smoke run.")
+        pose_backend = str(raw.get("eval", {}).get("pose_backend", "device"))
+        if pose_backend == "open3d":
+            from .eval.host_estimators import has_open3d
+
+            if not has_open3d():
+                logger.warning("eval.pose_backend=open3d but open3d is not "
+                               "installed — falling back to the device RANSAC")
+                pose_backend = "device"
         if dataset_name == "4dmatch":
             from .engine.tester import make_metric_points_fn
 
             tcfg = TestConfig(inlier_thr=0.04,
-                              match_thr=args.thr if args.thr is not None else 0.55)
+                              match_thr=args.thr if args.thr is not None else 0.55,
+                              pose_backend=pose_backend)
             tester = FourDMatchTester(model, variables, tcfg, logger, mesh=mesh)
             tester.test(make_test_iter, rng=rng,
                         metric_points_fn=make_metric_points_fn())
         else:
-            tester = ThreeDMatchTester(model, variables, TestConfig(), logger,
-                                       mesh=mesh)
+            tester = ThreeDMatchTester(
+                model, variables, TestConfig(pose_backend=pose_backend),
+                logger, mesh=mesh)
             tester.test(make_test_iter, rng=rng)
     if loader_stats.get("pairs_dropped"):
         logger.warning(
@@ -299,12 +321,27 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
 
         probe = next(make_iter())[0]
     else:
-        from .data.collate2d3d import Spec2D3D, batch_2d3d, build_2d3d_sample
-        from .data.datasets2d3d import RGBDScenes2D3DPairDataset
+        from .data.calibrate import calibrate_spec_2d3d
+        from .data.collate2d3d import batch_2d3d, build_2d3d_sample
+        from .data.datasets2d3d import (
+            RGBDScenes2D3DPairDataset,
+            SevenScenes2D3DPairDataset,
+        )
 
-        ds = RGBDScenes2D3DPairDataset(data_root, "test" if mode == "test" else "train",
-                                       use_augmentation=(mode == "train"))
-        spec = Spec2D3D(n_points=(32768, 8192, 2048))
+        ds_cls = SevenScenes2D3DPairDataset if dataset_name == "7scenes" \
+            else RGBDScenes2D3DPairDataset
+        ds = ds_cls(data_root, "test" if mode == "test" else "train",
+                    use_augmentation=(mode == "train"))
+
+        # static shapes from the data, like the 3D branch: measure the cloud
+        # pyramid over pairs spread across the dataset (reference
+        # vision3d/utils/dataloader.py:42-70 calibrates the same histogram)
+        n_calib = min(int(raw.get("calibration_pairs", 16)), len(ds))
+        calib_idx = np.linspace(0, len(ds) - 1, n_calib).astype(int)
+        spec = calibrate_spec_2d3d(
+            [ds[int(i)]["points"] for i in calib_idx],
+            init_radius=float(m.get("init_radius", 0.0625)))
+        logger.info(f"calibrated 2d3d spec from {n_calib} pairs: {spec}")
 
         # frozen towers (converted checkpoints, tools/convert_towers.py)
         towers = None
@@ -404,16 +441,34 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         raise SystemExit(
             f"refusing a metric run on real data with random weights: "
             f"pretrain={pretrain!r} not found (use --demo for a smoke run)")
-    tester = TwoDThreeDTester(
-        model, variables,
-        Test2D3DConfig(
-            acceptance_radius=float(ev.get("acceptance_radius", 0.05)),
-            ir_threshold=float(ev.get("ir_threshold", 0.1)),
-            rmse_threshold=float(ev.get("rmse_threshold", 0.1)),
-            pnp_tolerance_px=float(ev.get("pnp_tolerance_px", 8.0)),
-        ),
-        logger)
-    tester.test(make_iter, rng=rng)
+    pnp_backend = str(ev.get("pnp_backend", "device"))
+    if pnp_backend == "opencv":
+        from .eval.host_estimators import has_opencv
+
+        if not has_opencv():
+            logger.warning("eval.pnp_backend=opencv but cv2 is not installed "
+                           "— falling back to the device PnP")
+            pnp_backend = "device"
+    test_cfg = Test2D3DConfig(
+        acceptance_radius=float(ev.get("acceptance_radius", 0.05)),
+        ir_threshold=float(ev.get("ir_threshold", 0.1)),
+        rmse_threshold=float(ev.get("rmse_threshold", 0.1)),
+        pnp_tolerance_px=float(ev.get("pnp_tolerance_px", 8.0)),
+        pnp_backend=pnp_backend,
+    )
+    tester = TwoDThreeDTester(model, variables, test_cfg, logger)
+    # reference protocol is two-stage: test.py writes the npz prediction
+    # cache, eval.py re-scores it (possibly with a correspondence budget).
+    # Real-data runs always cache; demo runs only when asked.
+    cache_dir = ev.get("cache_dir") or (
+        None if demo and not ev.get("write_cache", False)
+        else os.path.join(save_dir, "cache"))
+    tester.test(make_iter, rng=rng, cache_dir=cache_dir)
+    if cache_dir is not None:
+        from .engine.tester2d3d import eval_from_cache
+
+        eval_from_cache(cache_dir, test_cfg, logger,
+                        num_corr=ev.get("num_correspondences"), rng=rng)
 
 
 if __name__ == "__main__":

@@ -198,12 +198,18 @@ class DiffReg2D3D(nn.Module):
         s = cfg.coarse_stride
 
         def centers_of(points_flat, valid_flat):
+            # reference patchify subsamples each patch's pixel block with
+            # stride 2 (model.py patchify(..., stride=2), utils.py:44-46)
+            # BEFORE the masked mean — centers over the full block differ
             pts = points_flat.reshape(b, h // s, s, w // s, s, 3)
+            pts = pts[:, :, ::2, :, ::2]
             # note: reshape trick needs H,W divisible by stride (enforced by
             # the data pipeline crop, like the reference's 476x630 crop)
-            pts = pts.transpose(0, 1, 3, 2, 4, 5).reshape(b, hc * wc, s * s, 3)
+            ss = pts.shape[2] * pts.shape[4]
+            pts = pts.transpose(0, 1, 3, 2, 4, 5).reshape(b, hc * wc, ss, 3)
             val = valid_flat.reshape(b, h // s, s, w // s, s)
-            val = val.transpose(0, 1, 3, 2, 4).reshape(b, hc * wc, s * s)
+            val = val[:, :, ::2, :, ::2]
+            val = val.transpose(0, 1, 3, 2, 4).reshape(b, hc * wc, ss)
             cnt = jnp.maximum(val.sum(-1, keepdims=True), 1)
             c = jnp.sum(pts * val[..., None], axis=2) / cnt
             return c, val.any(axis=-1)
@@ -236,33 +242,46 @@ class DiffReg2D3D(nn.Module):
         y = (v - cy) * z / fy
         return jnp.stack([x, y, z], axis=-1), z > 0.0
 
-    def _warp_nodes(self, x, nodes, centers_da, node_masks, center_masks):
+    def _warp_nodes(self, x, nodes, centers_da, node_masks, center_masks,
+                    node_pad=None):
         """Sinkhorn-project noisy matrix, 3D-3D Procrustes pcd-nodes ->
         DA patch centers, warp nodes (get_warped_from_noising_matching3D3D,
-        model.py:830-846)."""
-        conf = self.denoising_matching.sinkhorn(x, node_masks, center_masks)
+        model.py:830-846). ``node_pad``: static-padding mask of the node axis
+        (node_masks is a semantic validity mask — see ops.sinkhorn)."""
+        conf = self.denoising_matching.sinkhorn(
+            x, node_masks, center_masks, src_pad=node_pad,
+            tgt_pad=jnp.ones_like(center_masks))
         res = soft_procrustes(
             conf, nodes, centers_da, node_masks, center_masks,
             sample_rate=self.cfg.procrustes_sample_rate,
             max_condition_num=self.cfg.procrustes_max_condition,
+            # the 2d3d SoftProcrustesLayer budgets the top-k by MASK sums
+            # (procrustes.py:61-62), not padded sizes as in 3dmatch
+            use_masked_lengths=True,
         )
         warped = nodes @ jnp.swapaxes(res.rotation_fwd, 1, 2) \
             + jnp.swapaxes(res.translation_fwd, 1, 2)
         return warped
 
     def _denoise(self, enc, batch, nodes_warped, node_masks, img_valid_c):
+        # fusion attention semantics mirror the reference: NO image-token
+        # masking (the reference passes no masks, model.py:612-618 — every
+        # grid patch is a real token) and only shape-padding masked on the
+        # pcd side; the gated node_masks apply at the MATCHER
         img_t, pcd_t = self.denoising_fusion(
             enc["img_feats_c"], enc["img_pixels_c"],
             enc["pcd_feats_c"], nodes_warped,
             img_feats_dino=enc["dino_tokens"],
-            img_valid=img_valid_c, pcd_valid=node_masks)
+            img_valid=None, pcd_valid=batch.masks[-1])
         conf, _ = self.denoising_matching(
-            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal")
+            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal",
+            src_pad=batch.masks[-1], tgt_pad=jnp.ones_like(img_valid_c))
         return conf
 
     # ------------------------------------------------------------------ #
 
-    def __call__(self, batch: Batch2D3D, rng, mode: str = "ddim"):
+    def __call__(self, batch: Batch2D3D, rng, mode: str = "ddim",
+                 x_init: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         enc = self._encode(batch)
         hc, wc = enc["hc"], enc["wc"]
@@ -283,13 +302,15 @@ class DiffReg2D3D(nn.Module):
             batch, hc, wc)
         img_valid_c = center_valid
 
-        # fused features + coarse matcher (single-pass / "backbone" result)
+        # fused features + coarse matcher (single-pass / "backbone" result);
+        # see _denoise for the fusion mask semantics
         img_t, pcd_t = self.fusion(
             enc["img_feats_c"], enc["img_pixels_c"], enc["pcd_feats_c"], nodes,
             img_feats_dino=enc["dino_tokens"],
-            img_valid=img_valid_c, pcd_valid=node_masks)
+            img_valid=None, pcd_valid=batch.masks[-1])
         conf_pred, _ = self.coarse_matching(
-            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal")
+            pcd_t, img_t, None, None, node_masks, img_valid_c, pe_type="sinusoidal",
+            src_pad=node_masks_lvl, tgt_pad=jnp.ones_like(img_valid_c))
 
         out = {
             "conf_matrix_pred": conf_pred,
@@ -314,7 +335,8 @@ class DiffReg2D3D(nn.Module):
             noise = jax.random.normal(rng_n, matrix_gt.shape)
             disturbed = q_sample(self.schedule, matrix_gt, ts, noise)
             nodes_warped = self._warp_nodes(disturbed, nodes, da_centers,
-                                            node_masks, da_valid)
+                                            node_masks, da_valid,
+                                            node_pad=node_masks_lvl)
             conf_gt_hat = self._denoise(enc, batch, nodes_warped, node_masks, img_valid_c)
             out.update({"conf_matrix_gt_hat": conf_gt_hat, "matrix_gt": matrix_gt,
                         "timesteps": ts})
@@ -329,11 +351,13 @@ class DiffReg2D3D(nn.Module):
         # DDIM sampling (model.py:637-694) — deterministic, no min-shift
         steps = cfg.sample_steps
         pairs = jnp.asarray(ddim_time_pairs(cfg.timesteps, steps))
-        x0 = jax.random.normal(rng, (b, node_masks.shape[1], img_valid_c.shape[1]))
+        x0 = jax.random.normal(rng, (b, node_masks.shape[1], img_valid_c.shape[1])) \
+            if x_init is None else x_init
 
         def body(mdl, x, scan_in):
             time, time_next = scan_in
-            nodes_warped = mdl._warp_nodes(x, nodes, da_centers, node_masks, da_valid)
+            nodes_warped = mdl._warp_nodes(x, nodes, da_centers, node_masks, da_valid,
+                                           node_pad=node_masks_lvl)
             x_start = mdl._denoise(enc, batch, nodes_warped, node_masks, img_valid_c)
             tvec = jnp.full((b,), time, jnp.int32)
             eps = predict_noise_from_start(mdl.schedule, x, tvec, x_start)
@@ -348,8 +372,14 @@ class DiffReg2D3D(nn.Module):
                        split_rngs={"params": False}, in_axes=0, out_axes=0)
         x, _ = scan(self, x0, (pairs[:, 0], pairs[:, 1]))
 
-        conf = self.denoising_matching.sinkhorn(x, node_masks, img_valid_c)
+        conf = self.denoising_matching.sinkhorn(
+            x, node_masks, img_valid_c, src_pad=node_masks_lvl,
+            tgt_pad=jnp.ones_like(img_valid_c))
         corr = jax.vmap(lambda m: mutual_topk_mask(m, 1, mutual=False))(conf)
+        # documented divergence: the reference's mutual_topk_select runs
+        # unmasked (model.py:694), so every invalid all-zero conf row/column
+        # contributes a junk (i, 0) / (0, j) pair; masking them here only
+        # removes zero-score correspondences
         corr = corr & node_masks[:, :, None] & img_valid_c[:, None, :]
         out["conf_matrix_pred"] = conf
         out["corr_mask"] = corr

@@ -41,7 +41,16 @@ class CrossModalFusionModule(nn.Module):
         if self.use_embedding:
             emb2d = fourier_embedding(img_pixels, self.embedding_dim)
             img_tokens = img_tokens + nn.Dense(self.hidden_dim, name="img_emb_proj")(emb2d)
-            centered = pcd_points - jnp.mean(pcd_points, axis=1, keepdims=True)
+            # centroid over REAL nodes only: the reference centers with a
+            # plain mean (fusion_module.py:57) but sees no padding at B=1;
+            # our padded rows must not shift the centroid
+            if pcd_valid is not None:
+                cnt = jnp.maximum(pcd_valid.sum(axis=1, keepdims=True), 1)
+                mean = jnp.sum(pcd_points * pcd_valid[..., None], axis=1,
+                               keepdims=True) / cnt[..., None]
+            else:
+                mean = jnp.mean(pcd_points, axis=1, keepdims=True)
+            centered = pcd_points - mean
             emb3d = fourier_embedding(centered, self.embedding_dim)
             pcd_tokens = pcd_tokens + nn.Dense(self.hidden_dim, name="pcd_emb_proj")(emb3d)
 

@@ -41,6 +41,53 @@ def fourier_embedding(x, length: int, k0: float = 0.0, use_pi: bool = False,
     return jax.lax.stop_gradient(emb) if False else emb
 
 
+def leaky2d3d(x):
+    """vision3d's default LeakyReLU (negative_slope 0.2,
+    basic_layers/builder.py:121-126) — NOT the Lepard 0.1 slope used by the
+    3DMatch KPFCN."""
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def optimal_groups(num_channels: int) -> int:
+    """vision3d's GroupNorm group heuristic (basic_layers/builder.py:73-86):
+    at most 32 groups, at least 8 channels per group, divisibility required."""
+    g = 32
+    while g > 1:
+        if num_channels % g == 0 and num_channels // g >= 8:
+            return g
+        g //= 2
+    # reference dims (64..512) always resolve; tiny test configs fall back
+    # to a single group
+    return 1
+
+
+class GroupNormPack(nn.Module):
+    """Masked affine GroupNorm over packed points (vision3d
+    GroupNormPackMode, basic_layers/norm.py:53-66): input viewed as
+    (1, C, N), so statistics pool the group's channels AND all (valid)
+    points together. Padded rows are excluded from the statistics and
+    zeroed on output."""
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: [B, N, C]; mask: [B, N] bool."""
+        g = optimal_groups(self.dim)
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        b, n, c = x.shape
+        xg = x.reshape(b, n, g, c // g)
+        m = mask[:, :, None, None].astype(x.dtype)
+        cnt = jnp.maximum(mask.sum(axis=1), 1).astype(x.dtype)  # [B]
+        denom = (cnt * (c // g))[:, None]                        # [B, 1]
+        mu = jnp.sum(xg * m, axis=(1, 3)) / denom                # [B, g]
+        var = jnp.sum(((xg - mu[:, None, :, None]) ** 2) * m, axis=(1, 3)) / denom
+        y = (xg - mu[:, None, :, None]) / jnp.sqrt(var[:, None, :, None] + self.eps)
+        y = y.reshape(b, n, c) * scale + bias
+        return y * mask[:, :, None]
+
+
 class MultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
@@ -75,30 +122,38 @@ class TransformerLayer(nn.Module):
         hidden = MultiHeadAttention(self.d_model, self.num_heads, name="attention")(
             q_tokens, k_tokens, v_tokens, k_valid)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        tokens = nn.LayerNorm(name="norm1")(hidden + q_tokens)
+        # torch LayerNorm eps (1e-5); flax defaults to 1e-6
+        tokens = nn.LayerNorm(name="norm1", epsilon=1e-5)(hidden + q_tokens)
 
         ffn = nn.Dense(self.d_model * 2, name="expand")(tokens)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(self.d_model, name="squeeze")(ffn)
-        return nn.LayerNorm(name="norm2")(tokens + ffn)
+        return nn.LayerNorm(name="norm2", epsilon=1e-5)(tokens + ffn)
 
 
 class ConvBlock(nn.Module):
-    """Conv2d + GroupNorm + LeakyReLU (vision3d ConvBlock defaults)."""
+    """Conv2d + GroupNorm + LeakyReLU (vision3d ConvBlock).
+
+    Reference fidelity: the conv ALWAYS has a bias with GroupNorm (vision3d
+    only drops it for BatchNorm, conv_block.py:79-84); GroupNorm groups
+    follow the optimal-groups heuristic; eps is torch's 1e-5."""
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     use_norm: bool = True
     use_act: bool = True
-    groups: int = 8
 
     @nn.compact
     def __call__(self, x):
+        # torch-style symmetric padding k//2: XLA "SAME" pads asymmetrically
+        # for strided convs, which shifts border values vs the reference
+        p = self.kernel_size // 2
         x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride), padding="SAME")(x)
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), use_bias=True)(x)
         if self.use_norm:
-            g = min(self.groups, self.out_channels)
-            x = nn.GroupNorm(num_groups=g)(x)
+            x = nn.GroupNorm(num_groups=optimal_groups(self.out_channels),
+                             epsilon=1e-5)(x)
         if self.use_act:
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = leaky2d3d(x)
         return x

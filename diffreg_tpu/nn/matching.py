@@ -47,8 +47,12 @@ class Matching(nn.Module):
                 "bin_score", nn.initializers.constant(self.cfg.skh_init_bin_score), ())
 
     def __call__(self, src_feats, tgt_feats, src_pe, tgt_pe, src_mask, tgt_mask,
-                 pe_type="rotary", return_similarity=False):
-        """Returns (conf_matrix [B,S,T], match_mask [B,S,T] bool)."""
+                 pe_type="rotary", return_similarity=False,
+                 src_pad=None, tgt_pad=None):
+        """Returns (conf_matrix [B,S,T], match_mask [B,S,T] bool).
+
+        ``src_pad``/``tgt_pad``: static-padding masks when ``src_mask``/
+        ``tgt_mask`` are semantic validity masks (see ops.sinkhorn)."""
         cfg = self.cfg
         src = self.src_proj(src_feats)
         tgt = self.tgt_proj(tgt_feats) if cfg.apply_tgt_proj else self.src_proj(tgt_feats)
@@ -68,7 +72,8 @@ class Matching(nn.Module):
         elif cfg.match_type == "sinkhorn":
             if src_mask is not None:
                 sim = mask_matrix(sim, src_mask, tgt_mask)
-            z = log_sinkhorn(sim, self.bin_score, cfg.skh_iters, src_mask, tgt_mask)
+            z = log_sinkhorn(sim, self.bin_score, cfg.skh_iters, src_mask, tgt_mask,
+                             src_pad=src_pad, tgt_pad=tgt_pad)
             conf = jnp.exp(z)[:, :-1, :-1]
         else:
             raise NotImplementedError(cfg.match_type)
@@ -78,7 +83,7 @@ class Matching(nn.Module):
             return conf, match_mask, sim
         return conf, match_mask
 
-    def sinkhorn(self, scores, src_mask, tgt_mask):
+    def sinkhorn(self, scores, src_mask, tgt_mask, src_pad=None, tgt_pad=None):
         """Run the learned-dustbin Sinkhorn on an external score matrix.
 
         Used by the diffusion pipeline to project a noisy matrix onto the
@@ -86,5 +91,6 @@ class Matching(nn.Module):
         (pipeline.py:293-302 uses denoising_coarse_matching.bin_score).
         """
         scores = mask_matrix(scores, src_mask, tgt_mask)
-        z = log_sinkhorn(scores, self.bin_score, self.cfg.skh_iters, src_mask, tgt_mask)
+        z = log_sinkhorn(scores, self.bin_score, self.cfg.skh_iters, src_mask, tgt_mask,
+                         src_pad=src_pad, tgt_pad=tgt_pad)
         return jnp.exp(z)[:, :-1, :-1]

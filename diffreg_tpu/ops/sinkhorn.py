@@ -21,15 +21,25 @@ import jax.numpy as jnp
 from .masked import NEG_INF, mask_matrix
 
 
-def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
+def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None,
+                 src_pad=None, tgt_pad=None):
     """Run masked log-space Sinkhorn with dustbins.
 
     Args:
       scores:   [B, N, M] similarity matrix (padding entries are overwritten).
       alpha:    scalar dustbin score (learnable).
       iters:    python int, number of Sinkhorn iterations (unrolled).
-      src_mask: [B, N] bool or None.
+      src_mask: [B, N] bool or None — VALIDITY: invalid rows get -inf scores
+                and are excluded from the ms/ns counts.
       tgt_mask: [B, M] bool or None.
+      src_pad:  [B, N] bool or None — REAL rows (static-shape padding mask).
+                The reference only masks `scores` (2d3d matching.py:123-125):
+                a real-but-invalid row keeps its 1/(ms+ns) marginal mass and a
+                finite dustbin score, so ALL its mass drains into the dustbin
+                and shifts every real confidence. Rows outside `src_pad`
+                (padding the reference never sees) are excluded entirely.
+                Defaults to src_mask (the safe behavior when mask==padding).
+      tgt_pad:  [B, M] bool or None.
 
     Returns:
       [B, N+1, M+1] log assignment matrix Z with ``Z - log(ms+ns)`` removed
@@ -38,6 +48,10 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
     """
     b, n, m = scores.shape
     dtype = scores.dtype
+    if src_pad is None:
+        src_pad = src_mask
+    if tgt_pad is None:
+        tgt_pad = tgt_mask
 
     if src_mask is None:
         ms = jnp.full((b, 1), float(n), dtype)
@@ -56,11 +70,12 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
     bins1 = jnp.broadcast_to(alpha, (b, 1, m))
     corner = jnp.broadcast_to(alpha, (b, 1, 1))
     if src_mask is not None:
-        # padded rows/cols must not see a finite dustbin score either, or the
+        # PADDED rows/cols must not see a finite dustbin score either, or the
         # dustbin row/col becomes a finite escape hatch for their (zeroed)
-        # marginal mass during the iterations
-        bins0 = jnp.where(src_mask[:, :, None], bins0, NEG_INF)
-        bins1 = jnp.where(tgt_mask[:, None, :], bins1, NEG_INF)
+        # marginal mass during the iterations. Real-but-invalid rows keep the
+        # finite dustbin (reference behavior, see src_pad docstring).
+        bins0 = jnp.where(src_pad[:, :, None], bins0, NEG_INF)
+        bins1 = jnp.where(tgt_pad[:, None, :], bins1, NEG_INF)
 
     z = jnp.concatenate(
         [
@@ -72,16 +87,17 @@ def log_sinkhorn(scores, alpha, iters, src_mask=None, tgt_mask=None):
 
     norm = -jnp.log(ms + ns)  # [B, 1]
     # Marginals cover REAL rows/cols only. The reference repeats `norm` over
-    # its full (unpadded at eval B=1) sizes (matching.py:81-82); with our
-    # static bucket padding, giving padded rows/cols real marginal mass would
+    # its full (unpadded at eval B=1) sizes (matching.py:81-82) — including
+    # real-but-invalid rows, whose mass all flows to the dustbin; with our
+    # static bucket padding, giving PADDED rows/cols real marginal mass would
     # drain the dustbin budget through the always-finite bins rows and skew
     # every real confidence (~2x at 50% padding). NEG_INF (finite) keeps the
     # log-domain iterations NaN-free while zeroing their mass exactly.
     log_mu = jnp.concatenate([jnp.broadcast_to(norm, (b, n)), jnp.log(ns) + norm], axis=1)
     log_nu = jnp.concatenate([jnp.broadcast_to(norm, (b, m)), jnp.log(ms) + norm], axis=1)
     if src_mask is not None:
-        pad_r = jnp.concatenate([src_mask, jnp.ones((b, 1), bool)], axis=1)
-        pad_c = jnp.concatenate([tgt_mask, jnp.ones((b, 1), bool)], axis=1)
+        pad_r = jnp.concatenate([src_pad, jnp.ones((b, 1), bool)], axis=1)
+        pad_c = jnp.concatenate([tgt_pad, jnp.ones((b, 1), bool)], axis=1)
         log_mu = jnp.where(pad_r, log_mu, NEG_INF)
         log_nu = jnp.where(pad_c, log_nu, NEG_INF)
 

@@ -311,7 +311,10 @@ def sample_to_reference_data_2d3d(sample: dict, raw: dict) -> dict:
 
     image = np.asarray(raw["image"], np.float32)           # [H, W, 3]
     image_gray = np.asarray(raw["image_gray"], np.float32) # [H, W]
-    depth = np.asarray(raw["depth"], np.float32)
+    # the reference dataset carries depth in MILLIMETERS and back_project
+    # divides by 1000 (vision3d/ops/back_project.py:40); our readers convert
+    # to meters at load (data/datasets2d3d.py read_depth_image)
+    depth = np.asarray(raw["depth"], np.float32) * 1000.0
 
     data = {
         "batch_size": 1,

@@ -50,7 +50,9 @@ class TestPipeline2D3D:
         assert int(out["corr_mask"].sum()) > 0
 
     def test_patch_centers_match_camera_geometry(self, setup_2d3d):
-        """Patch centers must be means of valid back-projected points."""
+        """Patch centers = means of the STRIDE-2 pixel subset of valid
+        back-projected points per patch (reference patchify(..., stride=2),
+        utils.py:44-46; value-parity in test_pipeline2d3d_parity)."""
         batch, model, variables = setup_2d3d
         out = jax.jit(lambda v, b, r: model.apply(v, b, r, mode="backbone"))(
             variables, batch, jax.random.PRNGKey(4))
@@ -58,8 +60,8 @@ class TestPipeline2D3D:
         h, w = 32, 48
         s = 8
         pts = np.asarray(batch.img_points[0]).reshape(h, w, 3)
-        ref = pts.reshape(h // s, s, w // s, s, 3).transpose(0, 2, 1, 3, 4)
-        ref = ref.reshape(-1, s * s, 3).mean(axis=1)
+        ref = pts.reshape(h // s, s, w // s, s, 3)[:, ::2, :, ::2]
+        ref = ref.transpose(0, 2, 1, 3, 4).reshape(-1, (s // 2) ** 2, 3).mean(axis=1)
         np.testing.assert_allclose(centers, ref, atol=1e-4)
 
 

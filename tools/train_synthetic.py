@@ -75,34 +75,46 @@ def main():
 
     step = jax.jit(make_train_step(model, LossConfig(), ocfg))
 
+    from diffreg_tpu.eval.metrics import masked_inlier_ratio
+
     def _eval(variables, batch):
         out = model.apply(variables, batch, jax.random.PRNGKey(99), mode="ddim")
 
-        def one(conf, mask, s_pcd, t_pcd, rot_gt):
+        def one(conf, mask, s_pcd, t_pcd, rot_gt, trn_gt):
+            ir = masked_inlier_ratio(mask, s_pcd, t_pcd, rot_gt, trn_gt[:, 0],
+                                     inlier_thr=0.1)
             corrs = extract_correspondences(mask, conf, 512)
             res = ransac_pose(jax.random.PRNGKey(7), s_pcd[corrs.src_idx],
                               t_pcd[corrs.tgt_idx], corrs.valid,
                               distance_threshold=0.05, num_hypotheses=4096)
-            return rotation_error_deg(res.rotation[None], rot_gt[None])[0]
+            return rotation_error_deg(res.rotation[None], rot_gt[None])[0], ir
 
         return jax.vmap(one)(out["conf_matrix_pred"], out["corr_mask"],
-                             out["s_pcd"], out["t_pcd"], batch.rot_gt)
+                             out["s_pcd"], out["t_pcd"], batch.rot_gt,
+                             batch.trn_gt)
 
     eval_fn = jax.jit(_eval)
 
     def heldout_success(variables):
-        rres = np.concatenate([np.asarray(eval_fn(variables, b)) for b in heldout])
-        return float((rres < 5.0).mean()), rres
+        res = [eval_fn(variables, b) for b in heldout]
+        rres = np.concatenate([np.asarray(r[0]) for r in res])
+        irs = np.concatenate([np.asarray(r[1]) for r in res])
+        return float((rres < 5.0).mean()), rres, float(irs.mean())
 
     variables = {"params": state.params, "buffers": state.buffers}
-    s0, _ = heldout_success(variables)
-    print(f"held-out success@5deg before training: {s0:.2f}", flush=True)
+    s0, _, ir0 = heldout_success(variables)
+    print(f"held-out success@5deg before training: {s0:.2f} IR={ir0:.3f}",
+          flush=True)
 
     deadline = time.time() + minutes * 60.0
     # materialize step keys to HOST once: indexing a device array per
     # iteration is an eager dispatch (~30-190 ms/call on the tunneled
     # backend, see .claude/skills/verify/SKILL.md)
     keys = np.asarray(jax.random.split(rng, 200_000))
+    epoch_steps = n_pool      # one pass over the pool
+    eval_every = int(os.environ.get("DIFFREG_EVAL_EVERY", "2000"))
+    train_curve = []          # [(step, loss)]
+    val_curve = [(0, s0, ir0)]  # [(step, success@5deg, mean IR)]
     i = 0
     t0 = time.time()
     while time.time() < deadline:
@@ -110,12 +122,19 @@ def main():
         i += 1
         if i % 200 == 0:
             loss = float(info["loss"])           # readback barrier
+            train_curve.append((i, loss))
             print(f"step {i}: loss={loss:.4f} "
                   f"({(time.time()-t0)/i:.2f}s/step)", flush=True)
+        if i % eval_every == 0:
+            v = {"params": state.params, "buffers": state.buffers}
+            s, _, irv = heldout_success(v)
+            val_curve.append((i, s, irv))
+            print(f"  val @{i}: success={s:.2f} IR={irv:.3f}", flush=True)
 
     variables = {"params": state.params, "buffers": state.buffers}
-    s1, rres = heldout_success(variables)
-    print(f"held-out success@5deg after {i} steps: {s1:.2f} "
+    s1, rres, ir1 = heldout_success(variables)
+    val_curve.append((i, s1, ir1))
+    print(f"held-out success@5deg after {i} steps: {s1:.2f} IR={ir1:.3f} "
           f"(RRE {np.round(rres, 1)})", flush=True)
 
     mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
@@ -123,7 +142,11 @@ def main():
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({"steps": i, "heldout_success_before": s0,
                    "heldout_success_after": s1,
+                   "heldout_ir_before": ir0, "heldout_ir_after": ir1,
                    "heldout_rre_deg": rres.tolist(),
+                   "epochs": i / max(epoch_steps, 1),
+                   "train_curve": train_curve,
+                   "val_curve": val_curve,
                    "pool_pairs": n_pool * batch_size}, f, indent=1)
     print("saved", out_dir, flush=True)
 
