@@ -1,4 +1,9 @@
 from .checkpoint import CheckpointManager
+from .loss_library import (as_rigid_as_possible_loss, chamfer_distance_loss,
+                           hardest_contrastive_loss, orthogonal_loss,
+                           sigmoid_focal_loss, sigmoid_focal_loss_with_logits,
+                           smooth_cross_entropy_loss, transformation_loss,
+                           weighted_bce_loss, weighted_bce_loss_with_logits)
 from .losses import LossConfig, diffreg_loss, focal_correspondence_loss, match_recall_precision
 from .tester import FourDMatchTester, TestConfig, ThreeDMatchTester
 from .train import (OptimConfig, TrainState, create_train_state, make_eval_step,
@@ -22,4 +27,14 @@ __all__ = [
     "TestConfig",
     "ThreeDMatchTester",
     "FourDMatchTester",
+    "as_rigid_as_possible_loss",
+    "chamfer_distance_loss",
+    "hardest_contrastive_loss",
+    "orthogonal_loss",
+    "sigmoid_focal_loss",
+    "sigmoid_focal_loss_with_logits",
+    "smooth_cross_entropy_loss",
+    "transformation_loss",
+    "weighted_bce_loss",
+    "weighted_bce_loss_with_logits",
 ]

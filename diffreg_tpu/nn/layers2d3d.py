@@ -89,11 +89,23 @@ class GroupNormPack(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
+    """vision3d MultiHeadAttention (transformer.py:12-159).
+
+    Optional relative-position attention: ``qk_embeds`` [B, N, M, C] is added
+    to the keys per query pair (projected when ``qk_embed_proj``); the pair
+    logit ``q·(k + qk)`` is computed as ``q·k + q·qk`` — same math, no
+    [B,H,N,M,C] materialization of k+qk (transformer.py:120-126).
+    ``k_weights`` [B, M] / ``qk_weights`` [B, N, M] scale logits pre-softmax;
+    ``qk_valid`` [B, N, M] masks individual pairs (reference k_masks/qk_masks
+    are True-if-IGNORED; here all masks are True-if-valid, repo convention).
+    """
     d_model: int
     num_heads: int
+    qk_embed_proj: bool = False
 
     @nn.compact
-    def __call__(self, q_tokens, k_tokens, v_tokens, k_valid=None):
+    def __call__(self, q_tokens, k_tokens, v_tokens, k_valid=None,
+                 qk_embeds=None, k_weights=None, qk_weights=None, qk_valid=None):
         h = self.num_heads
         dim = self.d_model // h
         q = nn.Dense(self.d_model, name="q_token_layer")(q_tokens)
@@ -104,9 +116,20 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, -1, h, dim)
         v = v.reshape(b, -1, h, dim)
         a = jnp.einsum("bnhc,bmhc->bhnm", q, k, precision=get_precision())
+        if qk_embeds is not None:
+            if self.qk_embed_proj:
+                qk_embeds = nn.Dense(self.d_model, name="qk_embed_layer")(qk_embeds)
+            qk = qk_embeds.reshape(*qk_embeds.shape[:3], h, dim)
+            a = a + jnp.einsum("bnhc,bnmhc->bhnm", q, qk, precision=get_precision())
         a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
+        if qk_weights is not None:
+            a = a * qk_weights[:, None, :, :]
+        if k_weights is not None:
+            a = a * k_weights[:, None, None, :]
         if k_valid is not None:
             a = jnp.where(k_valid[:, None, None, :], a, NEG_INF)
+        if qk_valid is not None:
+            a = jnp.where(qk_valid[:, None, :, :], a, NEG_INF)
         a = jax.nn.softmax(a, axis=-1)
         out = jnp.einsum("bhnm,bmhc->bnhc", a, v, precision=get_precision())
         return out.reshape(b, nq, self.d_model)
@@ -116,11 +139,16 @@ class TransformerLayer(nn.Module):
     """AttentionLayer + AttentionOutput (post-norm residuals)."""
     d_model: int
     num_heads: int
+    qk_embed_proj: bool = False
 
     @nn.compact
-    def __call__(self, q_tokens, k_tokens, v_tokens, k_valid=None):
-        hidden = MultiHeadAttention(self.d_model, self.num_heads, name="attention")(
-            q_tokens, k_tokens, v_tokens, k_valid)
+    def __call__(self, q_tokens, k_tokens, v_tokens, k_valid=None,
+                 qk_embeds=None, k_weights=None, qk_weights=None, qk_valid=None):
+        hidden = MultiHeadAttention(self.d_model, self.num_heads,
+                                    qk_embed_proj=self.qk_embed_proj,
+                                    name="attention")(
+            q_tokens, k_tokens, v_tokens, k_valid, qk_embeds=qk_embeds,
+            k_weights=k_weights, qk_weights=qk_weights, qk_valid=qk_valid)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
         # torch LayerNorm eps (1e-5); flax defaults to 1e-6
         tokens = nn.LayerNorm(name="norm1", epsilon=1e-5)(hidden + q_tokens)

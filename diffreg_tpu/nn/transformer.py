@@ -55,6 +55,70 @@ class TransformerConfig:
     # LayerNorm stay f32); halves the per-step denoiser traffic in the
     # warp-active DDIM loop
     compute_dtype: Optional[str] = None
+    # Pad each attention head to a 128-lane-aligned block (head dim 108 ->
+    # 128). The [B,L,C]->[B,L,H,D] head split otherwise straddles TPU lane
+    # tiles and forces a Mosaic relayout of every q/k/v/o tensor. Padding is
+    # applied by scattering the (unchanged, checkpoint-identical) 432-dim
+    # kernels into head-aligned blocks; pad lanes are exactly zero so every
+    # dot accumulates +0.0 terms only — equivalent up to f32 accumulation
+    # order (measured <=5e-5 rel on CPU; tests/test_head_align.py).
+    # None = auto: on when head_dim % 128 != 0, head_dim >= 64 and the
+    # padded/true FLOP ratio stays under 4/3 (432/4=108 -> on; 528/4=132
+    # would pad to 256, ratio 1.94 -> off).
+    align_heads: Optional[bool] = None
+
+
+def resolve_head_pad(d_model: int, n_head: int, align: Optional[bool]) -> int:
+    """Padded per-head dim under the align_heads policy (== true head dim
+    when alignment is off or already aligned)."""
+    dim = d_model // n_head
+    dpad = -(-dim // 128) * 128
+    if align is None:
+        align = dim % 128 != 0 and dim >= 64 and 3 * dpad <= 4 * dim
+    return dpad if align else dim
+
+
+def pad_head_lanes(x, n_head: int, dim: int, dpad: int, axis: int = -1):
+    """Scatter a flattened-head feature axis [.., H*dim, ..] into the
+    head-aligned layout [.., H*dpad, ..] (zero pad lanes at each head tail)."""
+    if dpad == dim:
+        return x
+    axis = axis % x.ndim
+    shape = x.shape
+    x = x.reshape(shape[:axis] + (n_head, dim) + shape[axis + 1:])
+    pads = [(0, 0)] * x.ndim
+    pads[axis + 1] = (0, dpad - dim)
+    x = jnp.pad(x, pads)
+    return x.reshape(shape[:axis] + (n_head * dpad,) + shape[axis + 1:])
+
+
+class _HeadAlignedDense(nn.Module):
+    """Drop-in for ``nn.Dense(use_bias=False)`` whose output (mode='split')
+    or input (mode='merge') feature axis uses the head-aligned block layout.
+
+    The parameter is the ordinary dense ``kernel`` [in, features] (identical
+    pytree path and checkpoint layout); at trace time it is scattered so each
+    head occupies a ``head_pad``-wide lane block. The scatter is a ~1.5 MB
+    reshape+pad, loop-invariant under ``nn.scan``."""
+    in_features: int
+    features: int
+    n_head: int
+    head_pad: int
+    mode: str                    # 'split' | 'merge'
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+        h, dpad = self.n_head, self.head_pad
+        if self.mode == "split":
+            k = pad_head_lanes(kernel, h, self.features // h, dpad, axis=1)
+        else:
+            k = pad_head_lanes(kernel, h, self.in_features // h, dpad, axis=0)
+        return x @ k
 
 
 class GeometryAttentionLayer(nn.Module):
@@ -64,21 +128,37 @@ class GeometryAttentionLayer(nn.Module):
     pe_type: str
     use_flash: bool = False
     compute_dtype: Optional[str] = None
+    head_pad: Optional[int] = None   # padded per-head dim (None == d_model//n_head)
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
         b, n, _ = x.shape
         h = self.n_head
         dim = self.d_model // h
+        dpad = self.head_pad or dim
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         in_dtype = x.dtype
         if dt is not None:
             x, source = x.astype(dt), source.astype(dt)
 
-        q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)
-        k_proj = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)
-        v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)
-        merge = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)
+        if dpad != dim:
+            mk = lambda name, mode: _HeadAlignedDense(
+                self.d_model, self.d_model, h, dpad, mode, dtype=dt, name=name)
+            q_proj, k_proj, v_proj = (mk(n_, "split") for n_ in ("q_proj", "k_proj", "v_proj"))
+            merge = mk("merge", "merge")
+        else:
+            q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)
+            k_proj = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)
+            v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)
+            merge = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)
+
+        def _pe_lanes(pe):
+            # rotary cos/sin in the same head-aligned layout as q/k; callers
+            # (RepositioningTransformer) pre-pad once per PE recompute, the
+            # shape check keeps hand-driven layer use correct
+            if dpad != dim and pe.shape[-2] == self.d_model:
+                return pad_head_lanes(pe, h, dim, dpad, axis=-2)
+            return pe
 
         if self.pe_type == "sinusoidal":
             q_in = x + (x_pe.astype(x.dtype) if x_pe is not None else 0)
@@ -87,17 +167,17 @@ class GeometryAttentionLayer(nn.Module):
         elif self.pe_type == "rotary":
             qw, kw = q_proj(x), k_proj(source)
             if x_pe is not None:
-                xp = x_pe.astype(qw.dtype)
-                sp = source_pe.astype(kw.dtype)
+                xp = _pe_lanes(x_pe).astype(qw.dtype)
+                sp = _pe_lanes(source_pe).astype(kw.dtype)
                 qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
                 kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
         else:
             raise KeyError(self.pe_type)
         vw = v_proj(source)
 
-        qw = qw.reshape(b, -1, h, dim)
-        kw = kw.reshape(b, -1, h, dim)
-        vw = vw.reshape(b, -1, h, dim)
+        qw = qw.reshape(b, -1, h, dpad)
+        kw = kw.reshape(b, -1, h, dpad)
+        vw = vw.reshape(b, -1, h, dpad)
 
         if self.use_flash and source_mask is not None:
             # fused Pallas attention — [B,H,L,S] logits never hit HBM. Valid
@@ -108,7 +188,8 @@ class GeometryAttentionLayer(nn.Module):
             interpret = jax.devices()[0].platform == "cpu"
             o = masked_attention_pallas(
                 qw.transpose(0, 2, 1, 3), kw.transpose(0, 2, 1, 3),
-                vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret)
+                vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret,
+                scale=1.0 / (dim ** 0.5))
             o = o.transpose(0, 2, 1, 3)
         else:
             if dt is not None:
@@ -129,7 +210,7 @@ class GeometryAttentionLayer(nn.Module):
             else:
                 o = jnp.einsum("blsh,bshd->blhd", a, vw, precision=get_precision())
 
-        message = merge(o.reshape(b, -1, self.d_model))
+        message = merge(o.reshape(b, -1, h * dpad))
         message = nn.LayerNorm(name="norm1")(message.astype(jnp.float32))
         if dt is not None:
             message = message.astype(dt)
@@ -145,13 +226,16 @@ class RepositioningTransformer(nn.Module):
     cfg: TransformerConfig
 
     def setup(self):
+        head_pad = resolve_head_pad(self.cfg.feature_dim, self.cfg.n_head,
+                                    self.cfg.align_heads)
         modules = {}
         for i, lt in enumerate(self.cfg.layer_types):
             if lt in ("self", "cross"):
                 modules[str(i)] = GeometryAttentionLayer(
                     self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
                     use_flash=self.cfg.flash_attention,
-                    compute_dtype=self.cfg.compute_dtype, name=f"layer{i}_{lt}")
+                    compute_dtype=self.cfg.compute_dtype, head_pad=head_pad,
+                    name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":
                     assert self.cfg.feature_matching is not None

@@ -56,10 +56,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, *, scale, kv_tile, n_
     out_ref[0, 0, :, :] = acc / jnp.maximum(l_i, 1e-30)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
-                            interpret=False):
+                            interpret=False, scale=None):
     """q [B, H, L, D], k/v [B, H, S, D], kv_mask [B, S] -> out [B, H, L, D].
+
+    ``scale`` overrides the 1/sqrt(D) logit scale — required when D is a
+    lane-padded head dim (nn.transformer align_heads) and the true head dim
+    must set the temperature.
 
     Reference mask semantics: invalid keys suppressed for all queries
     (invalid queries produce garbage rows that callers mask, exactly like
@@ -70,13 +74,15 @@ def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
     backward kernels are a later optimization — training throughput is not
     attention-bound here).
     """
-    return _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret)
+    return _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale)
 
 
-def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False):
+def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False,
+             scale=None):
     b, h, l, d = q.shape
     s = k.shape[2]
-    scale = 1.0 / (d ** 0.5)
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
 
     pad_l = (-l) % q_tile
     pad_s = (-s) % kv_tile
@@ -112,28 +118,30 @@ def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False):
     return out[:, :, :l, :]
 
 
-def _attn_probs(q, k, kv_mask):
-    d = q.shape[-1]
+def _attn_probs(q, k, kv_mask, scale=None):
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jnp.einsum("bhld,bhsd->bhls", q, k,
-                   precision=jax.lax.Precision.HIGHEST) / (d ** 0.5)
+                   precision=jax.lax.Precision.HIGHEST) * scale
     s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
     return jax.nn.softmax(s, axis=-1)
 
 
-def _fwd(q, k, v, kv_mask, q_tile, kv_tile, interpret):
-    out = _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret)
+def _fwd(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale):
+    out = _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale)
     return out, (q, k, v, kv_mask)
 
 
-def _bwd(q_tile, kv_tile, interpret, res, g):
+def _bwd(q_tile, kv_tile, interpret, scale, res, g):
     q, k, v, kv_mask = res
-    d = q.shape[-1]
-    p = _attn_probs(q, k, kv_mask)                                    # [B,H,L,S]
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    p = _attn_probs(q, k, kv_mask, scale)                             # [B,H,L,S]
     dv = jnp.einsum("bhls,bhld->bhsd", p, g, precision=jax.lax.Precision.HIGHEST)
     dp = jnp.einsum("bhld,bhsd->bhls", g, v, precision=jax.lax.Precision.HIGHEST)
     # softmax backward: ds = p * (dp - sum(dp * p))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds / (d ** 0.5)
+    ds = ds * scale
     dq = jnp.einsum("bhls,bhsd->bhld", ds, k, precision=jax.lax.Precision.HIGHEST)
     dk = jnp.einsum("bhls,bhld->bhsd", ds, q, precision=jax.lax.Precision.HIGHEST)
     return dq, dk, dv, None

