@@ -14,6 +14,7 @@ from .geotransformer import (GeometricStructureEmbedding,
                              deduplicate_correspondences,
                              local_global_registration, point_matching,
                              sinusoidal_embedding,
+                             superpoint_matching_global_topk,
                              superpoint_matching_mutual_topk)
 from .kpconv_fpn import KPConvFPN, KPConvFPNConfig
 from .matching_models import (AttentionalPropagation, D3FeatLossConfig,

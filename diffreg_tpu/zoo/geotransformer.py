@@ -253,6 +253,34 @@ def superpoint_matching_mutual_topk(
                                       largest=False)
 
 
+def superpoint_matching_global_topk(
+    src_feats, tgt_feats, num_correspondences: int,
+    src_masks=None, tgt_masks=None, src_weights=None, tgt_weights=None,
+    dual_normalization: bool = True):
+    """SuperPointMatchingGlobalTopk (superpoint_matching_global_topk.py:10-75):
+    exp(-normalized-distance) similarity with optional dual normalization and
+    per-node weights, global top ``num_correspondences``. Masked entries are
+    excluded from both the normalizing sums and the selection."""
+    d2 = pairwise_distance(src_feats, tgt_feats, squared=True)
+    score = jnp.exp(-d2)
+    valid = jnp.ones(score.shape, bool)
+    if src_masks is not None:
+        valid &= src_masks[:, None]
+    if tgt_masks is not None:
+        valid &= tgt_masks[None, :]
+    score = jnp.where(valid, score, 0.0)
+    if dual_normalization:
+        s_row = score / jnp.clip(score.sum(axis=1, keepdims=True), 1e-12, None)
+        s_col = score / jnp.clip(score.sum(axis=0, keepdims=True), 1e-12, None)
+        score = s_row * s_col
+    if src_weights is not None:
+        score = score * src_weights[:, None]
+    if tgt_weights is not None:
+        score = score * tgt_weights[None, :]
+    return _flat_topk_correspondences(score, valid, num_correspondences,
+                                      largest=True)
+
+
 def adaptive_superpoint_matching(
     src_feats, tgt_feats, min_num_correspondences: int,
     similarity_threshold: float, src_masks=None, tgt_masks=None,

@@ -93,6 +93,21 @@ class TestSuperpointMatching:
         assert (perm[ti[valid]] == si[valid]).all() or \
             (ti[valid] == np.argsort(perm)[si[valid]]).all()
 
+    def test_global_topk_dual_normalization(self, rng):
+        f = rng.randn(10, 6).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        si, ti, sc, keep = zoo.superpoint_matching_global_topk(
+            jnp.asarray(f), jnp.asarray(f), num_correspondences=10)
+        si, ti, keep = np.asarray(si), np.asarray(ti), np.asarray(keep)
+        # identical feature sets: diagonal dominates under dual normalization
+        assert keep.all()
+        assert (si == ti).mean() > 0.8
+        # masked rows never selected
+        m = np.ones(10, bool); m[0] = False
+        si2, ti2, sc2, keep2 = zoo.superpoint_matching_global_topk(
+            jnp.asarray(f), jnp.asarray(f), 10, src_masks=jnp.asarray(m))
+        assert (np.asarray(si2)[np.asarray(keep2)] != 0).all()
+
     def test_adaptive_fallback(self, rng):
         f0 = rng.randn(6, 4).astype(np.float32)
         f1 = rng.randn(7, 4).astype(np.float32)

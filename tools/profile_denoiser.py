@@ -155,19 +155,23 @@ def main():
     # ---- attention sublayer in isolation at [2B, L, D] ----
     from diffreg_tpu.nn.transformer import GeometryAttentionLayer
 
-    layer = GeometryAttentionLayer(d, cfg.coarse_transformer.n_head,
-                                   "rotary", compute_dtype="bfloat16")
+    from diffreg_tpu.nn.transformer import resolve_head_pad
+
     feats2 = jnp.concatenate([src_feats, tgt_feats], axis=0)
     mask2 = jnp.concatenate([src_mask, tgt_mask], axis=0)
     pe2 = jax.jit(lambda: jnp.concatenate([vpe(s_pcd), vpe(t_pcd)], axis=0))()
-    lv = layer.init(rng, feats2, feats2, pe2, pe2, mask2, mask2)
+    for pad in (None, resolve_head_pad(d, cfg.coarse_transformer.n_head, None)):
+        layer = GeometryAttentionLayer(d, cfg.coarse_transformer.n_head,
+                                       "rotary", compute_dtype="bfloat16",
+                                       head_pad=pad)
+        lv = layer.init(rng, feats2, feats2, pe2, pe2, mask2, mask2)
 
-    def attn_body(x):
-        y = layer.apply(lv, x, x, pe2, pe2, mask2, mask2)
-        return y * 0.999
+        def attn_body(x, layer=layer, lv=lv):
+            y = layer.apply(lv, x, x, pe2, pe2, mask2, mask2)
+            return y * 0.999
 
-    timed_scan(f"1 attention layer [{2*b},{s},{d}]",
-               attn_body, feats2, steps)
+        timed_scan(f"1 attention layer [{2*b},{s},{d}] head_pad={pad}",
+                   attn_body, feats2, steps)
 
     # Dense-only proxy: the layer's 6 matmuls without attention
     import flax.linen as nn
