@@ -66,6 +66,11 @@ def main():
     if os.environ.get("DIFFREG_FLASH", "0") == "0":
         tf = dataclasses.replace(cfg.coarse_transformer, flash_attention=False)
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
+    # head-lane alignment A/B: DIFFREG_ALIGN_HEADS=0 forces the unpadded
+    # 108-dim head split (auto policy otherwise: ON for 432/4)
+    if os.environ.get("DIFFREG_ALIGN_HEADS", "") == "0":
+        tf = dataclasses.replace(cfg.coarse_transformer, align_heads=False)
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # bf16 conv gather/contraction (f32 accumulation) — ~1.3x on the
     # gather-bound backbone; override with DIFFREG_COMPUTE_DTYPE=float32
     compute_dtype = os.environ.get("DIFFREG_COMPUTE_DTYPE", "bfloat16")

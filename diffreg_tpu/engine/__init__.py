@@ -8,7 +8,8 @@ from .losses import LossConfig, diffreg_loss, focal_correspondence_loss, match_r
 from .tester import FourDMatchTester, TestConfig, ThreeDMatchTester
 from .train import (OptimConfig, TrainState, create_train_state, make_eval_step,
                     make_optimizer, make_train_step)
-from .trainer import Trainer, TrainerConfig
+from .trainer import (BatchTester, CycleIterator, IterBasedTrainer, Trainer,
+                      TrainerConfig)
 
 __all__ = [
     "LossConfig",
@@ -23,6 +24,9 @@ __all__ = [
     "make_eval_step",
     "Trainer",
     "TrainerConfig",
+    "BatchTester",
+    "CycleIterator",
+    "IterBasedTrainer",
     "CheckpointManager",
     "TestConfig",
     "ThreeDMatchTester",

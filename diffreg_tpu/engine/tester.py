@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..eval.metrics import masked_inlier_ratio, nfmr, registration_recall_success
+from ..eval.metrics import (inlier_ratio, masked_inlier_ratio, nfmr,
+                            registration_recall_success)
 from ..eval.ransac import ransac_pose
 from ..ops.select import extract_correspondences, thresholded_mutual_argmax_mask
 from ..utils.logging import Logger, SummaryBoard

@@ -283,7 +283,11 @@ def test_ddim_forward_parity_3d(ref3d):
     ours = set(map(tuple, np.argwhere(np.asarray(out_j["corr_mask"])[0, :ns, :nt])))
     theirs = set(zip(match_t[:, 1].tolist(), match_t[:, 2].tolist()))
     only = ours ^ theirs
-    assert len(only) <= max(2, len(theirs) // 100), (
+    # threshold-crossing matches sit at ~1e-7 conf margins; torch's
+    # intra-op thread partitioning (load-dependent) perturbs its side of
+    # the comparison enough to flip a few (observed 0-4 of ~340 across
+    # runs of the SAME code) — allow 2%
+    assert len(only) <= max(5, len(theirs) // 50), (
         f"match sets differ by {len(only)} of {len(theirs)}")
 
     np.testing.assert_allclose(np.asarray(out_j["rotation_pred"])[0], r_t, atol=2e-3)

@@ -29,6 +29,12 @@ def _to_np(sd):
 
 @pytest.fixture(scope="module")
 def ref_path():
+    # test_pipeline2d3d_parity leaves STUBBED depth_anything/transformer/...
+    # modules in sys.modules (reference_utils2d3d._install_stubs); purge
+    # them so the REAL reference packages import here
+    from reference_utils2d3d import _purge
+
+    _purge()
     if REF_2D3D not in sys.path:
         sys.path.insert(0, REF_2D3D)
     return REF_2D3D
