@@ -221,8 +221,12 @@ def hardest_contrastive_loss(
 
     n, m = feats0.shape[0], feats1.shape[0]
     # positive-pair exclusion matrix restricted to anchor rows: candidate j
-    # is excluded for anchor row p if (i0[p], j) is any valid positive pair
-    pos0 = jnp.zeros((n, m), bool).at[i0, i1].set(pos_pair_mask)
+    # is excluded for anchor row p if (i0[p], j) is any valid positive pair.
+    # Scatter True only for VALID pairs (padded rows write a sentinel row:
+    # .set with duplicate indices picks an arbitrary winner, so a padded
+    # (0, 0) row could otherwise erase a real positive at (0, 0))
+    safe_i0 = jnp.where(pos_pair_mask, i0, n)
+    pos0 = jnp.zeros((n + 1, m), bool).at[safe_i0, i1].set(True)[:n]
 
     d0 = jnp.sqrt(jnp.clip(pairwise_distance(a0, feats1, squared=True), 1e-12, None))  # [P, M]
     d1 = jnp.sqrt(jnp.clip(pairwise_distance(a1, feats0, squared=True), 1e-12, None))  # [P, N]

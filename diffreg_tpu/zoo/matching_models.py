@@ -314,8 +314,11 @@ def predator_loss(points0, points1, feats0, feats1, mask0, mask1,
     p1 = points1 @ rotation.T + translation
     i0, i1 = corr_pairs[:, 0], corr_pairs[:, 1]
     n, m = points0.shape[0], points1.shape[0]
-    in_ov0 = jnp.zeros(n, bool).at[i0].set(corr_mask) & mask0
-    in_ov1 = jnp.zeros(m, bool).at[i1].set(corr_mask) & mask1
+    # scatter membership through a sentinel row for padded pairs (.set with
+    # duplicate indices picks an arbitrary winner — a padded row aliasing a
+    # real index could erase its membership)
+    in_ov0 = jnp.zeros(n + 1, bool).at[jnp.where(corr_mask, i0, n)].set(True)[:n] & mask0
+    in_ov1 = jnp.zeros(m + 1, bool).at[jnp.where(corr_mask, i1, m)].set(True)[:m] & mask1
 
     # overlap BCE: labels are overlap membership (loss.py:138-148)
     ov_loss0, ov_p0, ov_r0 = _weighted_bce(

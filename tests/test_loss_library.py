@@ -173,6 +173,21 @@ class TestHardestContrastive:
         # all negatives at distance 0 -> neg loss ~ neg_thresh^2
         assert float(out["neg_loss"]) > 1.5
 
+    def test_padded_pair_aliasing_real_index(self, rng):
+        # a padded (0, 0) row must NOT erase the real positive at (0, 0):
+        # the hardest negative for anchor 0 must still exclude its positive
+        f0 = rng.randn(8, 4).astype(np.float32)
+        f1 = f0 + 0.001 * rng.randn(8, 4).astype(np.float32)
+        pairs = np.array([[0, 0], [1, 1], [0, 0], [0, 0]])
+        mask = np.array([True, True, False, False])   # padded rows alias (0,0)
+        out = hardest_contrastive_loss(jnp.asarray(f0), jnp.asarray(f1),
+                                       jnp.asarray(pairs), jnp.asarray(mask),
+                                       0.1, 1.4)
+        ref = hardest_contrastive_loss(jnp.asarray(f0), jnp.asarray(f1),
+                                       jnp.asarray(pairs[:2]), jnp.ones(2, bool),
+                                       0.1, 1.4)
+        np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]), rtol=1e-5)
+
     def test_padded_pairs_ignored(self, rng):
         f0 = rng.randn(12, 6).astype(np.float32)
         f1 = rng.randn(12, 6).astype(np.float32)

@@ -221,6 +221,29 @@ class TestPredator:
         assert d0.shape == (b, n, c)
         assert np.isfinite(np.asarray(d0)).all()
 
+    def test_overlap_mask_survives_padded_aliasing(self, rng):
+        # padded corr rows aliasing index 0 must not erase its membership
+        n = 10
+        pts = rng.randn(n, 3).astype(np.float32)
+        feats = rng.randn(n, 4).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        pairs = np.array([[0, 0], [1, 1], [0, 0]])
+        mask = np.array([True, True, False])
+        out = zoo.predator_loss(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(feats),
+            jnp.asarray(feats), jnp.ones(n, bool), jnp.ones(n, bool),
+            jnp.asarray(pairs), jnp.asarray(mask), jnp.eye(3), jnp.zeros(3),
+            jnp.ones(n) * 0.9, jnp.ones(n) * 0.9,
+            jnp.ones(n) * 0.9, jnp.ones(n) * 0.9, zoo.PredatorLossConfig())
+        ref = zoo.predator_loss(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(feats),
+            jnp.asarray(feats), jnp.ones(n, bool), jnp.ones(n, bool),
+            jnp.asarray(pairs[:2]), jnp.ones(2, bool), jnp.eye(3), jnp.zeros(3),
+            jnp.ones(n) * 0.9, jnp.ones(n) * 0.9,
+            jnp.ones(n) * 0.9, jnp.ones(n) * 0.9, zoo.PredatorLossConfig())
+        np.testing.assert_allclose(float(out["overlap_loss"]),
+                                   float(ref["overlap_loss"]), rtol=1e-5)
+
     def test_predator_loss_separates(self, rng):
         n = 24
         pts = rng.randn(n, 3).astype(np.float32)
