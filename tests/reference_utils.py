@@ -81,6 +81,10 @@ def load_reference_pipeline(config_path=None, seed: int = 0,
     if overrides is not None:
         overrides(config)
 
+    # single-threaded torch: intra-op thread partitioning changes reduction
+    # order run-to-run under load, which flips ~1e-7-margin matches in the
+    # DDIM parity comparison (observed 0-4 flips across identical runs)
+    torch.set_num_threads(1)
     torch.manual_seed(seed)
     cwd = os.getcwd()
     os.chdir(root)  # kernel dispositions ply path is relative
