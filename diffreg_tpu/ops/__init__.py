@@ -17,6 +17,12 @@ from .subsample import grid_subsample, grid_subsample_np, grid_subsample_with_fe
 from .neighbors import knn, knn_np, radius_neighbors, radius_neighbors_np
 from .kpconv import closest_pool, kpconv, max_pool
 from .kernel_points import load_kernel_points, unit_kernel_points
+from .consistency import (cross_spatial_consistency, leading_eigenvector,
+                          spatial_consistency)
+from .features import (build_local_reference_frame, deg2rad, estimate_normals,
+                       global_ppf, local_ppf, rad2deg, safe_divide, safe_sqrt,
+                       vector_angle)
+from .render import sample_pdf, volume_render
 
 __all__ = [
     "NEG_INF",
@@ -47,4 +53,18 @@ __all__ = [
     "closest_pool",
     "load_kernel_points",
     "unit_kernel_points",
+    "spatial_consistency",
+    "cross_spatial_consistency",
+    "leading_eigenvector",
+    "vector_angle",
+    "rad2deg",
+    "deg2rad",
+    "local_ppf",
+    "global_ppf",
+    "build_local_reference_frame",
+    "estimate_normals",
+    "safe_divide",
+    "safe_sqrt",
+    "sample_pdf",
+    "volume_render",
 ]
