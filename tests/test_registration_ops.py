@@ -187,6 +187,69 @@ class TestEmbeddedDeformation:
         assert resid.mean() < 0.02, resid.mean()
 
 
+class TestSO3:
+    def test_roundtrips(self, rng):
+        from diffreg_tpu import geometry as geo
+
+        phi = rng.randn(16, 3).astype(np.float32)
+        q = geo.axis_angle_to_quaternion(jnp.asarray(phi))
+        phi2 = np.asarray(geo.quaternion_to_axis_angle(q))
+        # axis-angle roundtrip is unique for |phi| < pi
+        small = np.linalg.norm(phi, axis=1) < np.pi
+        np.testing.assert_allclose(phi2[small], phi[small], atol=1e-4)
+        r = geo.axis_angle_to_rotation_matrix(jnp.asarray(phi))
+        r2 = geo.quaternion_to_matrix(q)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-5)
+        phi3 = np.asarray(geo.rotation_matrix_to_axis_angle(r))
+        np.testing.assert_allclose(phi3[small], phi[small], atol=1e-3)
+
+    def test_rodrigues_vs_known(self):
+        from diffreg_tpu import geometry as geo
+
+        r = np.asarray(geo.rodrigues_rotation_formula(
+            jnp.asarray([[0.0, 0, 1]]), jnp.asarray([np.pi / 2])))[0]
+        np.testing.assert_allclose(r, _rot_z(np.pi / 2), atol=1e-6)
+        # zero axis -> identity
+        r0 = np.asarray(geo.axis_angle_to_rotation_matrix(jnp.zeros((1, 3))))[0]
+        np.testing.assert_allclose(r0, np.eye(3), atol=1e-6)
+
+    def test_quaternion_rotate_matches_matrix(self, rng):
+        from diffreg_tpu import geometry as geo
+
+        phi = rng.randn(8, 3).astype(np.float32)
+        q = geo.axis_angle_to_quaternion(jnp.asarray(phi))
+        x = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        y1 = np.asarray(geo.quaternion_rotate(q, x))
+        r = geo.quaternion_to_matrix(q)
+        y2 = np.asarray(jnp.einsum("bij,bj->bi", r, x))
+        np.testing.assert_allclose(y1, y2, atol=1e-4)
+
+    def test_alignment_rotation(self, rng):
+        from diffreg_tpu import geometry as geo
+
+        a = rng.randn(32, 3).astype(np.float32)
+        b = rng.randn(32, 3).astype(np.float32)
+        r = np.asarray(geo.alignment_rotation_matrix(jnp.asarray(a), jnp.asarray(b)))
+        ra = np.einsum("bij,bj->bi", r, a / np.linalg.norm(a, axis=1, keepdims=True))
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        np.testing.assert_allclose(ra, bn, atol=1e-4)
+        # antiparallel degenerate case: still a proper pi rotation
+        v = np.array([[1.0, 0, 0]], np.float32)
+        rd = np.asarray(geo.alignment_rotation_matrix(jnp.asarray(v), jnp.asarray(-v)))[0]
+        np.testing.assert_allclose(rd @ v[0], -v[0], atol=1e-5)
+        np.testing.assert_allclose(rd @ rd.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(rd) > 0.99
+
+    def test_skew(self, rng):
+        from diffreg_tpu import geometry as geo
+
+        v = rng.randn(5, 3).astype(np.float32)
+        w = rng.randn(5, 3).astype(np.float32)
+        kx = np.asarray(geo.skew_symmetric_matrix(jnp.asarray(v)))
+        np.testing.assert_allclose(np.einsum("bij,bj->bi", kx, w),
+                                   np.cross(v, w), atol=1e-6)
+
+
 class TestRender:
     def test_sample_pdf_deterministic_in_heavy_bin(self, rng):
         loc = jnp.asarray(np.linspace(0, 1, 5, dtype=np.float32)[None].repeat(3, 0))
