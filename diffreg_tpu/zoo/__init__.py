@@ -17,6 +17,9 @@ from .geotransformer import (GeometricStructureEmbedding,
                              superpoint_matching_global_topk,
                              superpoint_matching_mutual_topk)
 from .kpconv_fpn import KPConvFPN, KPConvFPNConfig
+from .layers_library import (EdgeConv, FeaturePropagate, VNBatchNorm,
+                             VNLeakyReLU, VNLinear, VNLinearLeakyReLU,
+                             VNMaxPool, VNStdFeature, XConv)
 from .matching_models import (AttentionalPropagation, D3FeatLossConfig,
                               PredatorGCN, PredatorLossConfig,
                               PredatorSelfAttention,

@@ -1,0 +1,229 @@
+"""Remaining vision3d layer library: Vector Neurons, XConv, EdgeConv,
+FeaturePropagate (vision3d/layers/{vector_neurons,xconv,edge_conv,
+feature_propagate}.py).
+
+Layout conventions: ordinary features are channel-last [B, N, C] (reference
+is [B, C, N]); Vector-Neuron features are [B, N, C, 3] — the equivariant
+3-vector axis LAST (the reference uses [B, C, 3, N]); all VN linear maps act
+on the channel axis only, so SO(3) equivariance is preserved exactly.
+Normalization twins: the VN batch norm scales each channel's vector by
+norm'(|v|)/|v| — here computed per-batch like the reference's BatchNorm in
+train mode (library layers; no running stats).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pointnets import group_gather
+
+EPS = 1e-6
+
+
+class VNLinear(nn.Module):
+    """Channel-mixing linear over VN features (vector_neurons.py:8-19).
+    [B, N, C_in, 3] -> [B, N, C_out, 3]."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-2], self.out_channels))
+        return jnp.einsum("...cv,cd->...dv", x, w)
+
+
+def _vn_leaky(p, d, negative_slope):
+    """Direction-gated leaky ReLU (vector_neurons.py:30-42): reflect the
+    half of p anti-aligned with the learned direction d."""
+    dot = jnp.sum(p * d, axis=-1, keepdims=True)
+    d_norm_sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    mask = (dot >= 0).astype(p.dtype)
+    reflected = p - (dot / (d_norm_sq + EPS)) * d
+    return negative_slope * p + (1 - negative_slope) * (
+        mask * p + (1 - mask) * reflected)
+
+
+class VNLeakyReLU(nn.Module):
+    """vector_neurons.py:22-42."""
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        out = 1 if self.share_nonlinearity else x.shape[-2]
+        d = VNLinear(out, name="map_to_dir")(x)
+        return _vn_leaky(x, d, self.negative_slope)
+
+
+class VNBatchNorm(nn.Module):
+    """Norm-magnitude normalization (vector_neurons.py:113-132): normalize
+    each channel's vector length with a standard norm over the batch/point
+    axes, keeping directions (and thus equivariance) intact."""
+
+    @nn.compact
+    def __call__(self, x):
+        norm = jnp.linalg.norm(x, axis=-1) + EPS          # [B, N, C]
+        axes = tuple(range(norm.ndim - 1))                # batch + points
+        mu = jnp.mean(norm, axis=axes, keepdims=True)
+        var = jnp.var(norm, axis=axes, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (norm.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (norm.shape[-1],))
+        norm_bn = (norm - mu) / jnp.sqrt(var + 1e-5) * scale + bias
+        return x / norm[..., None] * norm_bn[..., None]
+
+
+class VNLinearLeakyReLU(nn.Module):
+    """Linear + VN norm + direction-gated leaky ReLU
+    (vector_neurons.py:45-76)."""
+    out_channels: int
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        p = VNLinear(self.out_channels, name="map_to_feat")(x)
+        if self.use_norm:
+            p = VNBatchNorm(name="batch_norm")(p)
+        out = 1 if self.share_nonlinearity else self.out_channels
+        d = VNLinear(out, name="map_to_dir")(x)
+        return _vn_leaky(p, d, self.negative_slope)
+
+
+class VNMaxPool(nn.Module):
+    """Direction-wise max pool over the neighbor axis
+    (vector_neurons.py:135-149): [B, N, K, C, 3] -> [B, N, C, 3]."""
+
+    @nn.compact
+    def __call__(self, x):
+        d = VNLinear(x.shape[-2], name="map_to_dir")(x)
+        dot = jnp.sum(x * d, axis=-1)                     # [B, N, K, C]
+        idx = jnp.argmax(dot, axis=-2)                    # [B, N, C]
+        return jnp.take_along_axis(x, idx[..., None, :, None], axis=-3)[..., 0, :, :]
+
+
+class VNStdFeature(nn.Module):
+    """Equivariant-to-invariant head (vector_neurons.py:152-208): learn a
+    frame z0 from the features and express x in it. Returns (x_std, z0)."""
+    in_channels: int
+    normalize_frame: bool = False
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        z = VNLinearLeakyReLU(self.in_channels // 2,
+                              self.share_nonlinearity, self.negative_slope,
+                              name="vn1")(x)
+        z = VNLinearLeakyReLU(self.in_channels // 4,
+                              self.share_nonlinearity, self.negative_slope,
+                              name="vn2")(z)
+        frame_dim = 2 if self.normalize_frame else 3
+        z0 = VNLinear(frame_dim, name="vn_lin")(z)        # [..., frame_dim, 3]
+        if self.normalize_frame:
+            v1 = z0[..., 0, :]
+            u1 = v1 / (jnp.linalg.norm(v1, axis=-1, keepdims=True) + EPS)
+            v2 = z0[..., 1, :]
+            v2 = v2 - jnp.sum(v2 * u1, axis=-1, keepdims=True) * u1
+            u2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + EPS)
+            u3 = jnp.cross(u1, u2)
+            z0 = jnp.stack([u1, u2, u3], axis=-2)         # [..., 3, 3]
+        x_std = jnp.einsum("...cv,...kv->...ck", x, z0)
+        return x_std, z0
+
+
+class EdgeConv(nn.Module):
+    """DGCNN edge conv, batch mode (edge_conv.py:12-66): shared MLP over
+    [x ++ (nbr - x)] then neighbor max. Channel-last; optional neighbor
+    validity mask covers the reference's pack-mode shadow-point handling
+    (edge_conv.py:69-123)."""
+    output_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, q_feats, s_feats, neighbor_indices, neighbor_masks=None):
+        nbr = group_gather(s_feats, neighbor_indices)     # [B, M, K, C]
+        q = jnp.broadcast_to(q_feats[:, :, None, :], nbr.shape)
+        x = jnp.concatenate([q, nbr - q], axis=-1)
+        for i, d in enumerate(self.output_dims):
+            x = nn.Dense(d, use_bias=False, name=f"mlp{i}")(x)
+            x = nn.LayerNorm(name=f"norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        if neighbor_masks is not None:
+            x = jnp.where(neighbor_masks[..., None], x, -1e10)
+        return jnp.max(x, axis=2)
+
+
+class FeaturePropagate(nn.Module):
+    """PointNet++ feature propagation (feature_propagate.py:9-54): 3-NN
+    inverse-distance interpolation from support to query + shared MLP."""
+    output_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, q_points, s_points, q_feats, s_feats):
+        d2 = jnp.sum((q_points[:, :, None, :] - s_points[:, None, :, :]) ** 2,
+                     axis=-1)
+        negd, idx = jax.lax.top_k(-d2, 3)
+        dist = jnp.sqrt(jnp.clip(-negd, 1e-12, None))
+        w = 1.0 / (dist + 1e-5)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        interp = jnp.sum(group_gather(s_feats, idx) * w[..., None], axis=2)
+        x = interp if q_feats is None else jnp.concatenate([q_feats, interp], -1)
+        for i, d in enumerate(self.output_dims):
+            x = nn.Dense(d, use_bias=False, name=f"mlp{i}")(x)
+            x = nn.LayerNorm(name=f"norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        return x
+
+
+class XConv(nn.Module):
+    """PointCNN X-Conv (xconv.py:59-151): learn a K x K transform of each
+    neighborhood from aligned coordinates, apply it to [lifted-coord feats
+    ++ neighbor feats], then a final pointwise conv over the K axis.
+    Channel-last twin of the (reference-untested, xconv.py:72 'TODO: not
+    tested') torch layer."""
+    output_dim: int
+    hidden_dim: int
+    kernel_size: int
+    with_global: bool = False
+
+    def _mlp2(self, x, dims, name):
+        for i, d in enumerate(dims):
+            x = nn.Dense(d, name=f"{name}{i}")(x)
+            x = nn.elu(x)
+            x = nn.LayerNorm(name=f"{name}_norm{i}", epsilon=1e-5)(x)
+        return x
+
+    @nn.compact
+    def __call__(self, q_points, s_points, s_feats, neighbor_indices):
+        k = self.kernel_size
+        aligned = group_gather(s_points, neighbor_indices) \
+            - q_points[:, :, None, :]                     # [B, M, K, 3]
+        lifted = self._mlp2(aligned, (self.hidden_dim, self.hidden_dim),
+                            "f_mlp")                      # [B, M, K, H]
+        feats = lifted
+        if s_feats is not None:
+            feats = jnp.concatenate(
+                [group_gather(s_feats, neighbor_indices), lifted], axis=-1)
+
+        # X-transform: learn a K x K neighborhood permutation-ish matrix from
+        # the flattened aligned coordinates. The reference builds this with a
+        # (1,K) conv + two grouped (K,1) convs + reshapes (XSharedMLP,
+        # xconv.py:20-56) — functionally an MLP from the K x 3 neighborhood
+        # to K x K; that layer is marked untested upstream (xconv.py:72), so
+        # this twin keeps the architecture's intent, not its conv choreography.
+        b, m = aligned.shape[:2]
+        flat = aligned.reshape(b, m, k * 3)
+        xt = self._mlp2(flat, (k * k, k * k), "x_mlp")
+        xt = nn.Dense(k * k, use_bias=False, name="x_out")(xt).reshape(b, m, k, k)
+        mixed = jnp.einsum("bmkj,bmjc->bmkc", xt, feats)
+        out = nn.Dense(self.output_dim, use_bias=False, name="conv")(
+            mixed.reshape(b, m, -1))
+        out = nn.elu(out)
+        out = nn.LayerNorm(name="conv_norm", epsilon=1e-5)(out)
+        if self.with_global:
+            g = self._mlp2(q_points, (self.output_dim // 4,) * 2, "g_mlp")
+            out = jnp.concatenate([out, g], axis=-1)
+        return out

@@ -403,6 +403,81 @@ class TestURR:
         np.testing.assert_allclose(d, 2.0, atol=1e-3)
 
 
+class TestVectorNeurons:
+    def _equivariant(self, rng, make, shape=(2, 16, 8, 3)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        r = jnp.asarray(_rot_z(0.9))
+        mod = make()
+        params = mod.init(jax.random.PRNGKey(0), x)
+        y_then_rot = np.asarray(mod.apply(params, x) @ r.T)
+        rot_then_y = np.asarray(mod.apply(params, x @ r.T))
+        np.testing.assert_allclose(rot_then_y, y_then_rot, atol=2e-5)
+
+    def test_vn_linear_equivariant(self, rng):
+        self._equivariant(rng, lambda: zoo.VNLinear(12))
+
+    def test_vn_leaky_equivariant(self, rng):
+        self._equivariant(rng, lambda: zoo.VNLeakyReLU())
+
+    def test_vn_linear_leaky_equivariant(self, rng):
+        self._equivariant(rng, lambda: zoo.VNLinearLeakyReLU(12))
+
+    def test_vn_norm_equivariant(self, rng):
+        self._equivariant(rng, lambda: zoo.VNBatchNorm())
+
+    def test_vn_maxpool_equivariant(self, rng):
+        self._equivariant(rng, lambda: zoo.VNMaxPool(), shape=(2, 6, 5, 8, 3))
+
+    def test_vn_std_feature_invariant(self, rng):
+        x = jnp.asarray(rng.randn(2, 10, 8, 3).astype(np.float32))
+        r = jnp.asarray(_rot_z(-1.2))
+        mod = zoo.VNStdFeature(8)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        std1, _ = mod.apply(params, x)
+        std2, _ = mod.apply(params, x @ r.T)
+        np.testing.assert_allclose(np.asarray(std1), np.asarray(std2), atol=2e-4)
+
+
+class TestLayerLibrary:
+    def test_edge_conv_mask(self, rng):
+        q = jnp.asarray(rng.randn(1, 6, 4).astype(np.float32))
+        s = jnp.asarray(rng.randn(1, 9, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 9, (1, 6, 3)))
+        mod = zoo.EdgeConv((8, 12))
+        params = mod.init(jax.random.PRNGKey(0), q, s, idx)
+        out = mod.apply(params, q, s, idx)
+        assert out.shape == (1, 6, 12)
+        # masking one neighbor changes nothing if it wasn't the max... at
+        # minimum it keeps shapes/finiteness with partial masks
+        m = jnp.asarray(rng.rand(1, 6, 3) > 0.3)
+        out2 = mod.apply(params, q, s, idx, neighbor_masks=m)
+        assert np.isfinite(np.asarray(out2)).all()
+
+    def test_feature_propagate_exact_at_support(self, rng):
+        s_pts = jnp.asarray(rng.randn(1, 12, 3).astype(np.float32))
+        s_feats = jnp.asarray(rng.randn(1, 12, 5).astype(np.float32))
+        mod = zoo.FeaturePropagate(())
+        params = mod.init(jax.random.PRNGKey(0), s_pts, s_pts, None, s_feats)
+        out = np.asarray(mod.apply(params, s_pts, s_pts, None, s_feats))
+        # query == support: 1/(0+1e-5) dominates -> interp ~= own features
+        np.testing.assert_allclose(out, np.asarray(s_feats), atol=1e-2)
+
+    def test_xconv_forward(self, rng):
+        q = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(1, 16, 6).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 16, (1, 8, 4)))
+        mod = zoo.XConv(output_dim=20, hidden_dim=8, kernel_size=4)
+        params = mod.init(jax.random.PRNGKey(0), q, s, f, idx)
+        out = mod.apply(params, q, s, f, idx)
+        assert out.shape == (1, 8, 20)
+        mod_g = zoo.XConv(output_dim=20, hidden_dim=8, kernel_size=4,
+                          with_global=True)
+        params = mod_g.init(jax.random.PRNGKey(0), q, s, f, idx)
+        out = mod_g.apply(params, q, s, f, idx)
+        assert out.shape == (1, 8, 25)
+
+
 class TestPri3D:
     @pytest.mark.parametrize("depth,multires", [(10, False), (18, True)])
     def test_resunet(self, rng, depth, multires):
