@@ -23,6 +23,7 @@ from .features import (build_local_reference_frame, deg2rad, estimate_normals,
                        global_ppf, local_ppf, rad2deg, safe_divide, safe_sqrt,
                        vector_angle)
 from .render import sample_pdf, volume_render
+from .conversion import batch_to_pack, pack_to_batch
 
 __all__ = [
     "NEG_INF",
@@ -67,4 +68,6 @@ __all__ = [
     "safe_sqrt",
     "sample_pdf",
     "volume_render",
+    "batch_to_pack",
+    "pack_to_batch",
 ]

@@ -187,6 +187,30 @@ class TestEmbeddedDeformation:
         assert resid.mean() < 0.02, resid.mean()
 
 
+class TestConversion:
+    def test_roundtrip(self, rng):
+        b, n, c = 3, 7, 4
+        x = rng.randn(b, n, c).astype(np.float32)
+        masks = rng.rand(b, n) > 0.4
+        masks[:, 0] = True                 # every sample nonempty
+        packed, lengths, pvalid = ops.batch_to_pack(jnp.asarray(x),
+                                                    jnp.asarray(masks))
+        assert int(np.asarray(pvalid).sum()) == int(masks.sum())
+        np.testing.assert_array_equal(np.asarray(lengths), masks.sum(1))
+        back, masks2 = ops.pack_to_batch(packed, lengths, max_length=n)
+        # valid rows round-trip exactly (pack order is batch-major)
+        for i in range(b):
+            np.testing.assert_allclose(
+                np.asarray(back)[i][np.asarray(masks2)[i]], x[i][masks[i]])
+
+    def test_fill_value(self, rng):
+        packed = jnp.asarray(rng.randn(5, 2).astype(np.float32))
+        lengths = jnp.asarray([2, 3])
+        batch, masks = ops.pack_to_batch(packed, lengths, max_length=4,
+                                         fill_value=-7.0)
+        assert (np.asarray(batch)[~np.asarray(masks)] == -7.0).all()
+
+
 class TestSO3:
     def test_roundtrips(self, rng):
         from diffreg_tpu import geometry as geo
