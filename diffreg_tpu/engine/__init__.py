@@ -7,7 +7,7 @@ from .loss_library import (as_rigid_as_possible_loss, chamfer_distance_loss,
 from .losses import LossConfig, diffreg_loss, focal_correspondence_loss, match_recall_precision
 from .tester import FourDMatchTester, TestConfig, ThreeDMatchTester
 from .train import (OptimConfig, TrainState, create_train_state, make_eval_step,
-                    make_optimizer, make_train_step)
+                    make_optimizer, make_train_step, warmup_annealing_schedule)
 from .trainer import (BatchTester, CycleIterator, IterBasedTrainer, Trainer,
                       TrainerConfig)
 
@@ -22,6 +22,7 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "make_eval_step",
+    "warmup_annealing_schedule",
     "Trainer",
     "TrainerConfig",
     "BatchTester",

@@ -40,6 +40,48 @@ class OptimConfig:
     # gradient (lib/utils.py:96-107, lib/trainer.py:196-200); False restores
     # the softer zero-NaNs-and-apply behavior
     skip_nonfinite_updates: bool = True
+    # 'exponential' = the Lepard-branch per-epoch ExpLR (default); the
+    # 'warmup_*' variants are the vision3d build_warmup_lr_scheduler family
+    # (vision3d/utils/optimizer.py:13-103)
+    scheduler: str = "exponential"  # exponential | warmup_exponential |
+    #                                 warmup_cosine | warmup_linear
+    warmup_steps: int = 0
+    total_steps: int = 100000       # warmup_cosine / warmup_linear horizon
+    eta_init: float = 0.1           # warmup start multiplier
+    eta_min: float = 0.1            # decay floor multiplier
+
+
+def warmup_annealing_schedule(kind: str, base_lr: float, warmup_steps: int,
+                              total_steps: int = 0, gamma: float = 0.95,
+                              step_size: int = 1000, eta_init: float = 0.1,
+                              eta_min: float = 0.1):
+    """vision3d WarmUp{Exponential,Cosine,Linear}AnnealingFunction as an
+    optax schedule (optimizer.py:13-74): linear warmup from eta_init*lr,
+    then the chosen annealing with an eta_min*lr floor."""
+
+    def schedule(count):
+        # torch LambdaLR hands the lambda last_epoch=k at update k and the
+        # reference uses next_step = last_step + 1 (optimizer.py:22-24);
+        # optax counts applied updates from 0, so shift by one for parity
+        step = jnp.asarray(count, jnp.float32) + 1.0
+        warm = eta_init + (1.0 - eta_init) / jnp.maximum(warmup_steps, 1) * step
+        decay_step = step - warmup_steps
+        if kind == "warmup_exponential":
+            mult = jnp.maximum(
+                gamma ** jnp.floor((decay_step + 1) / step_size), eta_min)
+        elif kind == "warmup_cosine":
+            frac = decay_step / jnp.maximum(total_steps - warmup_steps, 1)
+            mult = eta_min + 0.5 * (1.0 - eta_min) * (1 + jnp.cos(jnp.pi * frac))
+            mult = jnp.where(step > total_steps, eta_min, mult)
+        elif kind == "warmup_linear":
+            frac = decay_step / jnp.maximum(total_steps - warmup_steps, 1)
+            mult = eta_min + (1.0 - eta_min) * (1.0 - frac)
+            mult = jnp.where(step > total_steps, eta_min, mult)
+        else:
+            raise ValueError(kind)
+        return base_lr * jnp.where(step < warmup_steps, warm, mult)
+
+    return schedule
 
 
 class TrainState(NamedTuple):
@@ -50,12 +92,18 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    sched = optax.exponential_decay(
-        init_value=cfg.lr,
-        transition_steps=cfg.steps_per_epoch,
-        decay_rate=cfg.scheduler_gamma,
-        staircase=True,
-    )
+    if cfg.scheduler == "exponential":
+        sched = optax.exponential_decay(
+            init_value=cfg.lr,
+            transition_steps=cfg.steps_per_epoch,
+            decay_rate=cfg.scheduler_gamma,
+            staircase=True,
+        )
+    else:
+        sched = warmup_annealing_schedule(
+            cfg.scheduler, cfg.lr, cfg.warmup_steps, cfg.total_steps,
+            gamma=cfg.scheduler_gamma, step_size=cfg.steps_per_epoch,
+            eta_init=cfg.eta_init, eta_min=cfg.eta_min)
     chain = [optax.zero_nans()]
     if cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))

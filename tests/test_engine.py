@@ -417,3 +417,49 @@ class TestBatchTester:
         summary = tester.test(lambda: iter(batches))
         assert summary["samples"] == 3
         np.testing.assert_allclose(summary["err"], (0.0 + 1.0 + 0.0) / 3)
+
+
+class TestWarmupSchedules:
+    """warmup_annealing_schedule vs a straight reimplementation of the
+    reference WarmUp*AnnealingFunction formulas (optimizer.py:13-74)."""
+
+    @staticmethod
+    def _ref(kind, k, warmup, total, gamma, step_size, eta_init, eta_min):
+        # torch LambdaLR hands last_epoch=k; reference uses next_step=k+1
+        next_step = k + 1
+        if next_step < warmup:
+            return eta_init + (1.0 - eta_init) / warmup * next_step
+        d = next_step - warmup
+        if kind == "warmup_exponential":
+            return max(gamma ** ((d + 1) // step_size), eta_min)
+        if next_step > total:
+            return eta_min
+        if kind == "warmup_cosine":
+            return eta_min + 0.5 * (1 - eta_min) * (1 + np.cos(np.pi * d / (total - warmup)))
+        return eta_min + (1 - eta_min) * (1.0 - d / (total - warmup))
+
+    @pytest.mark.parametrize("kind", ["warmup_exponential", "warmup_cosine",
+                                      "warmup_linear"])
+    def test_matches_reference_formula(self, kind):
+        from diffreg_tpu.engine import warmup_annealing_schedule
+
+        sched = warmup_annealing_schedule(kind, base_lr=0.01, warmup_steps=10,
+                                          total_steps=100, gamma=0.9,
+                                          step_size=20, eta_init=0.1,
+                                          eta_min=0.05)
+        for k in [0, 1, 5, 9, 10, 30, 55, 99, 120]:
+            want = 0.01 * self._ref(kind, k, 10, 100, 0.9, 20, 0.1, 0.05)
+            np.testing.assert_allclose(float(sched(k)), want, rtol=1e-6,
+                                       err_msg=f"{kind} step {k}")
+
+    def test_wired_into_optimizer(self):
+        from diffreg_tpu.engine import OptimConfig, make_optimizer
+
+        cfg = OptimConfig(optimizer="adam", lr=1e-3,
+                          scheduler="warmup_cosine", warmup_steps=5,
+                          total_steps=50)
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
