@@ -2,7 +2,7 @@ from .se3 import apply_transform, compose, inverse, rotation_error_deg, translat
 from .procrustes import ProcrustesResult, soft_procrustes, weighted_kabsch
 from .deformation import (apply_embedded_deformation,
                           apply_embedded_deformation_dense,
-                          non_rigid_icp_adam)
+                          non_rigid_icp_adam, non_rigid_icp_gauss_newton)
 from .so3 import (alignment_rotation_matrix, apply_rotation,
                   axis_angle_to_quaternion, axis_angle_to_rotation_matrix,
                   quaternion_conjugate, quaternion_product, quaternion_rotate,
@@ -14,6 +14,7 @@ __all__ = [
     "apply_embedded_deformation",
     "apply_embedded_deformation_dense",
     "non_rigid_icp_adam",
+    "non_rigid_icp_gauss_newton",
     "alignment_rotation_matrix",
     "apply_rotation",
     "axis_angle_to_quaternion",

@@ -160,6 +160,33 @@ class TestEmbeddedDeformation:
         want = 0.5 * (pts + np.array([1.0, 0, 0], np.float32))
         np.testing.assert_allclose(out, want, atol=1e-5)
 
+    def test_gauss_newton_icp_recovers_rigid_motion(self, rng):
+        from diffreg_tpu.geometry import non_rigid_icp_gauss_newton
+
+        nodes = rng.rand(5, 3).astype(np.float32) * 2
+        pts = rng.rand(30, 3).astype(np.float32) * 2
+        r_gt = _rot_z(0.3)
+        t_gt = np.array([0.2, -0.1, 0.3], np.float32)
+        tgt = pts @ r_gt.T + t_gt
+        d = np.linalg.norm(pts[:, None] - nodes[None], axis=-1)
+        idx = np.argsort(d, axis=1)[:, :3]
+        w = np.exp(-np.take_along_axis(d, idx, axis=1) ** 2).astype(np.float32)
+        edges = np.array([[i, j] for i in range(5) for j in range(5) if i != j])
+        rot, trn = non_rigid_icp_gauss_newton(
+            jnp.asarray(nodes), jnp.asarray(pts), jnp.asarray(tgt),
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(edges),
+            arap_lambda=0.3, lm_lambda=0.01, num_iterations=5)
+        from diffreg_tpu.geometry import apply_embedded_deformation
+
+        warped = np.asarray(apply_embedded_deformation(
+            jnp.asarray(pts), jnp.asarray(nodes), rot, trn,
+            jnp.asarray(idx), jnp.asarray(w)))
+        resid = np.linalg.norm(warped - tgt, axis=1)
+        assert resid.mean() < 5e-3, resid.mean()
+        # a rigid GT with strong ARAP coupling: every node finds ~the same R
+        rots = np.asarray(rot)
+        np.testing.assert_allclose(rots, np.tile(r_gt, (5, 1, 1)), atol=0.05)
+
     @pytest.mark.slow
     def test_nonrigid_icp_recovers_translation_field(self, rng):
         nodes = rng.rand(6, 3).astype(np.float32) * 2
