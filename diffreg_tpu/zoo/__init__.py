@@ -17,7 +17,8 @@ from .geotransformer import (GeometricStructureEmbedding,
                              superpoint_matching_global_topk,
                              superpoint_matching_mutual_topk)
 from .kpconv_fpn import KPConvFPN, KPConvFPNConfig
-from .layers_library import (EdgeConv, FeaturePropagate, VNBatchNorm,
+from .layers_library import (BasicConvResBlock, EdgeConv, FeaturePropagate,
+                             GSAConv, PNConv, SAConv, VNBatchNorm,
                              VNLeakyReLU, VNLinear, VNLinearLeakyReLU,
                              VNMaxPool, VNStdFeature, XConv)
 from .matching_models import (AttentionalPropagation, D3FeatLossConfig,

@@ -135,6 +135,102 @@ class VNStdFeature(nn.Module):
         return x_std, z0
 
 
+class PNConv(nn.Module):
+    """PointNet conv: local shared MLP over [B, N, K, C] -> max over K ->
+    global shared MLP (vision3d/layers/pointnet.py:7-62); optional L2
+    output normalization."""
+    local_dims: Sequence[int]
+    global_dims: Sequence[int]
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, group_feats):
+        x = group_feats
+        for i, d in enumerate(self.local_dims):
+            x = nn.Dense(d, use_bias=False, name=f"local{i}")(x)
+            x = nn.LayerNorm(name=f"local_norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        x = jnp.max(x, axis=-2)
+        for i, d in enumerate(self.global_dims):
+            x = nn.Dense(d, use_bias=False, name=f"global{i}")(x)
+            x = nn.LayerNorm(name=f"global_norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        if self.normalize:
+            x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                             1e-12, None)
+        return x
+
+
+class SAConv(nn.Module):
+    """PointNet++ set-abstraction conv (vision3d/layers/pointnet2.py:9-51):
+    shared MLP over [neighbor feats ++ centered offsets], max over K.
+    Channel-last: q_points [B, M, 3], s_points/s_feats [B, N, 3/C],
+    neighbor_indices [B, M, K]."""
+    output_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, q_points, s_points, s_feats, neighbor_indices):
+        off = group_gather(s_points, neighbor_indices) - q_points[:, :, None, :]
+        x = off
+        if s_feats is not None:
+            x = jnp.concatenate([group_gather(s_feats, neighbor_indices), off],
+                                axis=-1)
+        for i, d in enumerate(self.output_dims):
+            x = nn.Dense(d, use_bias=False, name=f"mlp{i}")(x)
+            x = nn.LayerNorm(name=f"norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        return jnp.max(x, axis=2)
+
+
+class GSAConv(nn.Module):
+    """Global set abstraction (vision3d/layers/pointnet2.py:54-80):
+    shared MLP over [feats ++ points], global max -> [B, C]."""
+    output_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, points, feats, mask=None):
+        x = points if feats is None else jnp.concatenate([feats, points], -1)
+        for i, d in enumerate(self.output_dims):
+            x = nn.Dense(d, use_bias=False, name=f"mlp{i}")(x)
+            x = nn.LayerNorm(name=f"norm{i}", epsilon=1e-5)(x)
+            x = nn.relu(x)
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, -1e10)
+        return jnp.max(x, axis=1)
+
+
+class BasicConvResBlock(nn.Module):
+    """Generic 2-conv residual block with strided-identity projection
+    (vision3d/layers/residual_block.py:9-80). 2D NHWC variant (the 1d/3d
+    reference configs are the same block over other ranks)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        from ..nn.layers2d3d import leaky2d3d, optimal_groups
+
+        p = self.kernel_size // 2
+
+        def conv(h, name, stride, act):
+            h = nn.Conv(self.out_channels,
+                        (self.kernel_size, self.kernel_size),
+                        strides=(stride, stride), padding=((p, p), (p, p)),
+                        use_bias=True, name=name)(h)
+            h = nn.GroupNorm(num_groups=optimal_groups(self.out_channels),
+                             epsilon=1e-5, name=f"{name}_norm")(h)
+            return leaky2d3d(h) if act else h
+
+        res = conv(x, "conv1", self.stride, act=True)
+        res = conv(res, "conv2", 1, act=False)
+        if self.stride > 1 or x.shape[-1] != self.out_channels:
+            identity = conv(x, "identity", self.stride, act=False)
+        else:
+            identity = x
+        return leaky2d3d(identity + res)
+
+
 class EdgeConv(nn.Module):
     """DGCNN edge conv, batch mode (edge_conv.py:12-66): shared MLP over
     [x ++ (nbr - x)] then neighbor max. Channel-last; optional neighbor

@@ -462,6 +462,37 @@ class TestLayerLibrary:
         # query == support: 1/(0+1e-5) dominates -> interp ~= own features
         np.testing.assert_allclose(out, np.asarray(s_feats), atol=1e-2)
 
+    def test_pnconv_saconv_gsaconv(self, rng):
+        g = jnp.asarray(rng.randn(1, 6, 4, 5).astype(np.float32))
+        pn = zoo.PNConv((8,), (10,), normalize=True)
+        params = pn.init(jax.random.PRNGKey(0), g)
+        out = pn.apply(params, g)
+        assert out.shape == (1, 6, 10)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                                   1.0, rtol=1e-5)
+        q = jnp.asarray(rng.randn(1, 6, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(1, 12, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(1, 12, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 12, (1, 6, 4)))
+        sa = zoo.SAConv((8, 16))
+        params = sa.init(jax.random.PRNGKey(0), q, s, f, idx)
+        out = sa.apply(params, q, s, f, idx)
+        assert out.shape == (1, 6, 16)
+        gsa = zoo.GSAConv((8,))
+        params = gsa.init(jax.random.PRNGKey(0), s, f)
+        out = gsa.apply(params, s, f)
+        assert out.shape == (1, 8)
+
+    def test_basic_conv_res_block(self, rng):
+        x = jnp.asarray(rng.randn(1, 16, 16, 6).astype(np.float32))
+        blk = zoo.BasicConvResBlock(12, stride=2)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(params, x)
+        assert out.shape == (1, 8, 8, 12)
+        blk2 = zoo.BasicConvResBlock(6)     # identity shortcut path
+        params = blk2.init(jax.random.PRNGKey(0), x)
+        assert blk2.apply(params, x).shape == x.shape
+
     def test_xconv_forward(self, rng):
         q = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
         s = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
