@@ -538,13 +538,17 @@ class TestKPConvFPN:
             "upsamples": list(batch.upsamples),
             "features": batch.features,
         }
-        n_stages = min(3, len(pyr["points"]))
-        cfg = zoo.KPConvFPNConfig(input_dim=pyr["features"].shape[-1],
-                                  output_dim=32, first_dim=8,
-                                  encoder_stages=n_stages,
-                                  decoder_stages=n_stages - 1)
-        m = zoo.KPConvFPN(cfg)
-        params = m.init(jax.random.PRNGKey(0), pyr)
-        outs = m.apply(params, pyr)
-        assert len(outs) == cfg.decoder_stages  # finest-first decoder levels
-        assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+        # exercise the reference default shape (4 encoder / 2 decoder,
+        # kpconv_fpn.py) and a deeper decoder
+        for n_enc, n_dec in ((4, 2), (3, 2)):
+            n_enc = min(n_enc, len(pyr["points"]))
+            cfg = zoo.KPConvFPNConfig(input_dim=pyr["features"].shape[-1],
+                                      output_dim=32, first_dim=8,
+                                      encoder_stages=n_enc,
+                                      decoder_stages=n_dec)
+            m = zoo.KPConvFPN(cfg)
+            params = m.init(jax.random.PRNGKey(0), pyr)
+            outs = m.apply(params, pyr)
+            assert len(outs) == n_dec       # finest-first decoder levels
+            assert outs[0].shape[-1] == 32  # last decoder = output_dim Dense
+            assert all(np.isfinite(np.asarray(o)).all() for o in outs)
