@@ -13,12 +13,38 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# v5e (TPU v5 lite) peak: 197 TFLOP/s bf16 per chip (394 TOPS int8). MFU is
+# reported against the bf16 peak — the MXU's native rate and the bench's
+# default compute dtype.
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def _cost_flops(compiled) -> float | None:
+    """FLOPs XLA attributes to one call of a compiled executable (None if
+    the backend exposes no cost model — e.g. some tunneled/CPU builds)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -103,11 +129,17 @@ def main():
             out["conf_matrix_pred"], out["corr_mask"], out["s_pcd"], out["t_pcd"], keys)
         return rot, trn
 
-    # warmup/compile. NOTE: device->host readback (np.asarray) is the only
+    # AOT-compile once; the same compiled object serves warmup, timing, and
+    # the FLOP/MFU accounting (its cost_analysis is XLA's count for exactly
+    # the program being timed).
+    register_c = register.lower(variables, batch, rng).compile()
+    flops_per_call = _cost_flops(register_c)
+
+    # warmup. NOTE: device->host readback (np.asarray) is the only
     # reliable completion barrier on the tunneled TPU backend —
     # block_until_ready returns early there, which silently inflates
     # throughput ~50x. Never trust block-based timing on this backend.
-    r, t = register(variables, batch, rng)
+    r, t = register_c(variables, batch, rng)
     np.asarray(r)
 
     # timed runs, forcing completion every iteration via readback.
@@ -119,7 +151,7 @@ def main():
     iter_rngs = [jnp.asarray(k) for k in iter_rngs]
     t0 = time.perf_counter()
     for i in range(iters):
-        r, t = register(variables, batch, iter_rngs[i])
+        r, t = register_c(variables, batch, iter_rngs[i])
         np.asarray(r)
     dt = time.perf_counter() - t0
 
@@ -153,14 +185,33 @@ def main():
             out["conf_matrix_pred"], out["corr_mask"], out["s_pcd"],
             out["t_pcd"], keys)
 
-    r, _ = register_active(variables, batch, rng)
+    register_active_c = register_active.lower(variables, batch, rng).compile()
+    flops_per_call_active = _cost_flops(register_active_c)
+    r, _ = register_active_c(variables, batch, rng)
     np.asarray(r)
     t0 = time.perf_counter()
     for i in range(iters):
-        r, _ = register_active(variables, batch, iter_rngs[i])
+        r, _ = register_active_c(variables, batch, iter_rngs[i])
         np.asarray(r)
     dt_active = time.perf_counter() - t0
     pairs_per_sec_active = batch_size * iters / dt_active
+
+    # MFU: achieved TFLOP/s over the bf16 MXU peak for this device kind.
+    # XLA's cost analysis counts the compiled program's FLOPs (incl. the
+    # gate-0 hoisting — so the headline and warp-active programs each get
+    # their own count); the tunnel RTT (~27 ms/readback) is part of the
+    # measured wall time, so this is deployment MFU, not kernel-only.
+    device_kind = jax.devices()[0].device_kind
+    peak_tflops = _PEAK_BF16_TFLOPS.get(device_kind)
+
+    def _mfu(flops, seconds_per_call):
+        if flops is None or peak_tflops is None or seconds_per_call <= 0:
+            return None, None
+        achieved = flops / seconds_per_call / 1e12
+        return round(achieved, 3), round(100.0 * achieved / peak_tflops, 3)
+
+    tflops_headline, mfu_headline = _mfu(flops_per_call, dt / iters)
+    tflops_active, mfu_active = _mfu(flops_per_call_active, dt_active / iters)
 
     # Baseline: >= 50 pairs/s on v5e-8 (BASELINE.md) == 6.25 pairs/s/chip;
     # the data axis scales linearly (pairs are independent), so single-chip
@@ -183,9 +234,97 @@ def main():
             "compute_dtype": compute_dtype,
             "warp_active_pairs_per_sec": round(pairs_per_sec_active, 3),
             "warp_active_seconds_per_batch": round(dt_active / iters, 4),
+            "flops_per_batch": flops_per_call,
+            "warp_active_flops_per_batch": flops_per_call_active,
+            "achieved_tflops": tflops_headline,
+            "mfu_pct": mfu_headline,
+            "warp_active_achieved_tflops": tflops_active,
+            "warp_active_mfu_pct": mfu_active,
+            "mfu_basis": f"bf16 peak {peak_tflops} TFLOP/s ({device_kind})"
+                         if peak_tflops else None,
         },
     }))
 
 
+def _last_json_line(text: str) -> str | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+                return line
+            except ValueError:
+                continue
+    return None
+
+
+def orchestrate(argv: list[str]) -> int:
+    """Run the bench in a watchdogged subprocess with retries.
+
+    The tunneled TPU backend can be unavailable for hours, and a process
+    that touches a dead tunnel blocks FOREVER at 0% CPU (no exception) —
+    so both the cheap device probe and the measurement itself run as
+    subprocesses under a hard timeout. On persistent failure this still
+    prints one structured JSON line (never a bare traceback), so a
+    transient outage can't zero a round's perf record.
+    """
+    probe_timeout = float(os.environ.get("DIFFREG_BENCH_PROBE_TIMEOUT", "180"))
+    run_timeout = float(os.environ.get("DIFFREG_BENCH_RUN_TIMEOUT", "2700"))
+    retries = int(os.environ.get("DIFFREG_BENCH_RETRIES", "3"))
+    backoff = float(os.environ.get("DIFFREG_BENCH_BACKOFF", "90"))
+    # test hooks: shell-string overrides for the probe / measurement cmds
+    probe_override = os.environ.get("DIFFREG_BENCH_PROBE_CMD")
+    run_override = os.environ.get("DIFFREG_BENCH_RUN_CMD")
+
+    probe_cmd = (["bash", "-c", probe_override] if probe_override else
+                 [sys.executable, "-c", "import jax; jax.devices()"])
+    run_cmd = (["bash", "-c", run_override] if run_override else
+               [sys.executable, os.path.abspath(__file__), "--run", *argv])
+
+    attempts = []
+    for attempt in range(1, retries + 1):
+        if attempt > 1:
+            time.sleep(backoff * (attempt - 1))
+        try:
+            p = subprocess.run(probe_cmd, timeout=probe_timeout,
+                               capture_output=True)
+        except subprocess.TimeoutExpired:
+            attempts.append(f"attempt {attempt}: device probe timed out "
+                            f"after {probe_timeout:.0f}s (tunnel down)")
+            continue
+        if p.returncode != 0:
+            attempts.append(f"attempt {attempt}: device probe rc="
+                            f"{p.returncode}")
+            continue
+        try:
+            p = subprocess.run(run_cmd, timeout=run_timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            attempts.append(f"attempt {attempt}: bench run timed out after "
+                            f"{run_timeout:.0f}s")
+            continue
+        line = _last_json_line(p.stdout or "")
+        if p.returncode == 0 and line is not None:
+            print(line)
+            return 0
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        attempts.append(f"attempt {attempt}: bench run rc={p.returncode}: "
+                        + " | ".join(tail))
+
+    print(json.dumps({
+        "metric": "registered_pairs_per_sec",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable after {retries} attempts",
+        "detail": {"attempts": attempts},
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        sys.argv.remove("--run")
+        main()
+    else:
+        sys.exit(orchestrate(sys.argv[1:]))
