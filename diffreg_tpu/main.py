@@ -83,9 +83,20 @@ def main(argv=None):
     pipeline_cfg = build_pipeline_config(raw)
     loss_cfg = build_loss_config(raw)
 
+    # multi-host: initialize the JAX distributed runtime when the env
+    # requests it (torchrun/DDP twin — Diff-Reg-3dmatch/main.py:44-47);
+    # dist info feeds the per-host data shard + lr scaling below
+    from .parallel.distributed import setup_distributed
+
+    dist = setup_distributed()
+
     save_dir = os.path.join("snapshot", raw.get("exp_dir", "run"))
     logger = Logger(save_dir)
     logger.info(f"devices: {jax.devices()}")
+    if dist["process_count"] > 1:
+        logger.info(f"multi-host: process {dist['process_index']}/"
+                    f"{dist['process_count']}, "
+                    f"{dist['local_devices']} local devices")
     logger.info(f"task={dataset_name} mode={mode} steps={pipeline_cfg.sample_steps}")
 
     model = DiffusionMatchingModel(pipeline_cfg)
@@ -143,9 +154,13 @@ def main(argv=None):
         num_workers = int(raw.get("num_workers", 8))
 
         def make_iter(epoch=0):
+            # per-host shard of the (identically shuffled) epoch order —
+            # the DistributedSampler twin (reference main.py:127)
             return iterate_batches(ds, spec, pyr_cfg, batch_size,
                                    shuffle=(mode == "train"), seed=epoch,
-                                   num_workers=num_workers, stats=loader_stats)
+                                   num_workers=num_workers, stats=loader_stats,
+                                   process_index=dist["process_index"],
+                                   process_count=dist["process_count"])
 
         make_test_iter = lambda: make_iter(0)
 
@@ -153,7 +168,8 @@ def main(argv=None):
     # our step-count schedule needs the true epoch length for gamma^epoch
     # parity (VERDICT r2 weak #8)
     steps_per_epoch = max(1, (args.num_pairs if demo else len(ds)) // batch_size)
-    optim_cfg = build_optim_config(raw, steps_per_epoch=steps_per_epoch)
+    optim_cfg = build_optim_config(raw, steps_per_epoch=steps_per_epoch,
+                                   world_size=dist["process_count"])
 
     rng = jax.random.PRNGKey(int(raw.get("seed", 0)))
     if demo:

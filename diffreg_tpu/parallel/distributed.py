@@ -56,4 +56,31 @@ def per_host_slice(global_index: np.ndarray) -> np.ndarray:
     """Slice a global sample index list for this host — the
     DistributedSampler replacement (each host loads its shard, the mesh
     sees one global batch)."""
-    return global_index[jax.process_index()::jax.process_count()]
+    return shard_order_for_process(
+        global_index, jax.process_index(), jax.process_count())
+
+
+def shard_order_for_process(order: np.ndarray, process_index: int,
+                            process_count: int) -> np.ndarray:
+    """DistributedSampler twin: equal-length, stride-interleaved per-host
+    shards of a (pre-shuffled) global index order.
+
+    Exactly torch's ``DistributedSampler`` semantics, which the reference
+    installs on every DDP dataloader (vision3d/utils/dataloader.py:80-109;
+    Diff-Reg-3dmatch/main.py:127): every host applies the SAME epoch
+    shuffle to the global order, the order is padded by wrap-around to a
+    multiple of ``process_count`` so all hosts step in lockstep (SPMD
+    collectives deadlock on unequal step counts), then host ``i`` takes
+    ``order[i::process_count]``. Shards are disjoint except for the
+    ≤ process_count-1 wrap-padding duplicates.
+    """
+    order = np.asarray(order)
+    if process_count <= 1:
+        return order
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index {process_index} not in [0, {process_count})")
+    total = -(-len(order) // process_count) * process_count
+    if total > len(order):
+        order = np.concatenate([order, order[:total - len(order)]])
+    return order[process_index::process_count]
