@@ -1,5 +1,6 @@
 from .checkpoint import CheckpointManager
 from .loss_library import (as_rigid_as_possible_loss, chamfer_distance_loss,
+                           p2p_fitting_regularizer,
                            hardest_contrastive_loss, orthogonal_loss,
                            sigmoid_focal_loss, sigmoid_focal_loss_with_logits,
                            smooth_cross_entropy_loss, transformation_loss,
@@ -16,6 +17,7 @@ __all__ = [
     "diffreg_loss",
     "focal_correspondence_loss",
     "match_recall_precision",
+    "p2p_fitting_regularizer",
     "OptimConfig",
     "TrainState",
     "create_train_state",

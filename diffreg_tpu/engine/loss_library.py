@@ -274,3 +274,70 @@ def as_rigid_as_possible_loss(nodes, rotations, translations, edge_indices,
     if edge_weights is not None:
         vals = vals * edge_weights
     return _reduce(vals, edge_mask, "mean")
+
+
+def p2p_fitting_regularizer(intermediates, fitting_power: float = 1.0,
+                            repulse_extent: float = 1.2):
+    """Deformed-kernel-point regularizer for deformable KPConv layers.
+
+    The reference's deformable KPConv stores ``min_d2`` / ``deformed_KP``
+    on the module "(used in regularization loss)"
+    (Diff-Reg-3dmatch/models/blocks.py:154-157, 280-281); the loss those
+    running variables feed is KPConv's point-to-point fitting regularizer:
+    per deformable conv,
+
+      * fitting: mean(min_d2 / KP_extent^2) pulls every deformed kernel
+        point toward its nearest input point;
+      * repulsive: sum over ordered kernel-point pairs (i, j!=i) of
+        clamp_max(||kp_i - kp_j||/extent - repulse_extent, 0)^2 / K,
+        averaged over queries, with the *other* point detached — pushes
+        coincident deformed points apart.
+
+    Args:
+      intermediates: the flax ``intermediates`` collection from
+        ``model.apply(..., mutable=["intermediates"])`` — every
+        ``deform_aux`` sown by a deformable :class:`KPConvLayer` is
+        consumed (the flax twin of iterating ``net.modules()``). Padded
+        query rows are excluded via the sown ``q_mask``.
+      fitting_power: ``deform_fitting_power`` (loss scale).
+      repulse_extent: normalized repulsion radius.
+
+    Returns a scalar: ``fitting_power * (fitting + repulsive)`` summed over
+    deformable convs; 0.0 if the network has none.
+    """
+    auxes = []
+
+    def collect(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "deform_aux":
+                    # sown values are tuples (one entry per sow call)
+                    auxes.extend(v if isinstance(v, (tuple, list)) else [v])
+                else:
+                    collect(v)
+
+    collect(intermediates)
+    if not auxes:
+        return jnp.asarray(0.0, jnp.float32)
+
+    total = jnp.asarray(0.0, jnp.float32)
+    for aux in auxes:
+        extent = aux["kp_extent"]
+        m = aux["q_mask"].astype(jnp.float32)              # [B, Nq] (or [Nq])
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        # fitting — l1(min_d2/extent^2, 0) == masked mean over queries AND
+        # kernel points
+        fit_q = jnp.mean(aux["min_d2"], axis=-1) / extent**2
+        total = total + jnp.sum(fit_q * m) / denom
+
+        kp = aux["deformed_kp"] / extent                    # [B, Nq, P, 3]
+        p = kp.shape[-2]
+        diff = kp[..., :, None, :] - jax.lax.stop_gradient(kp[..., None, :, :])
+        sq = jnp.sum(diff * diff, axis=-1)                  # [B, Nq, P, P]
+        eye = jnp.eye(p, dtype=bool)
+        dist = jnp.sqrt(jnp.where(eye, 1.0, sq))            # diag sqrt-safe
+        pen = jnp.minimum(dist - repulse_extent, 0.0) ** 2
+        pen = jnp.where(eye, 0.0, pen)
+        rep_q = jnp.sum(pen, axis=(-1, -2)) / p             # [B, Nq]
+        total = total + jnp.sum(rep_q * m) / denom
+    return fitting_power * total

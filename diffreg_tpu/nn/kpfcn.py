@@ -50,6 +50,10 @@ class KPFCNConfig:
     batch_norm_momentum: float = 0.02
     coarse_feature_dim: int = 432
     fine_feature_dim: int = 264
+    # deformable-KPConv family (blocks.py:124-260): block names containing
+    # 'deform' predict per-query kernel offsets; `modulated` additionally
+    # predicts per-kernel-point sigmoid gains (blocks.py:164-178)
+    modulated: bool = False
     # opt-in Pallas fused conv (parity-tested; slower than XLA on v5e —
     # see ops.kpconv.kpconv_batched)
     use_pallas_kpconv: bool = False
@@ -90,15 +94,24 @@ class UnaryBlock(nn.Module):
 
 
 class KPConvLayer(nn.Module):
-    """One kernel-point convolution with its (fixed) dispositions."""
+    """One kernel-point convolution with its (fixed) dispositions.
+
+    ``deformable=True`` switches to the deformed-kernel variant
+    (blocks.py:124-260): an extra rigid conv predicts per-query kernel
+    offsets (+ modulations when ``cfg.modulated``); the deformation
+    running variables (``min_d2``, ``deformed_kp``) are sown into the
+    ``intermediates`` collection for the fitting regularizer — the flax
+    twin of the reference storing them on the module (blocks.py:154-157).
+    """
     in_dim: int
     out_dim: int
     radius: float          # layer radius (kernel disposition scale)
     extent: float          # KP influence extent
     cfg: KPFCNConfig
+    deformable: bool = False
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_inds, x):
+    def __call__(self, q_pts, s_pts, neighb_inds, x, q_mask=None):
         # [B, ...] batched; vmap the per-pair functional conv.
         weights = self.param(
             "weights",
@@ -113,6 +126,41 @@ class KPConvLayer(nn.Module):
             self.cfg.fixed_kernel_points,
         )
         kp = self.variable("buffers", "kernel_points", lambda: jnp.asarray(kp_init))
+        compute_dtype = (jnp.dtype(self.cfg.compute_dtype)
+                         if self.cfg.compute_dtype else None)
+
+        if self.deformable:
+            from ..ops.kpconv import kpconv_deformable
+
+            p = self.cfg.num_kernel_points
+            offset_dim = (4 if self.cfg.modulated else 3) * p
+            offset_weights = self.param(
+                "offset_weights",
+                nn.initializers.variance_scaling(2.0 / p, "fan_in", "uniform"),
+                (p, self.in_dim, offset_dim))
+            offset_bias = self.param(
+                "offset_bias", nn.initializers.zeros, (offset_dim,))
+            # the reference's offset_conv carries its own kernel
+            # dispositions (separate load_kernels call, blocks.py:169-177);
+            # kept as a second buffer for exact checkpoint conversion
+            okp = self.variable("buffers", "offset_kernel_points",
+                                lambda: jnp.asarray(kp_init))
+            conv = jax.vmap(
+                kpconv_deformable,
+                in_axes=(0, 0, 0, 0, None, None, None, None, None, None,
+                         None, None, None, None))
+            out, aux = conv(q_pts, s_pts, neighb_inds, x, kp.value, weights,
+                            offset_weights, offset_bias, self.extent,
+                            self.cfg.kp_influence, self.cfg.aggregation_mode,
+                            self.cfg.modulated, compute_dtype, okp.value)
+            self.sow("intermediates", "deform_aux", {
+                "min_d2": aux["min_d2"],
+                "deformed_kp": aux["deformed_kp"],
+                "kp_extent": jnp.asarray(self.extent, jnp.float32),
+                "q_mask": (q_mask if q_mask is not None
+                           else jnp.ones(out.shape[:-1], bool)),
+            })
+            return out
 
         from ..ops.kpconv import kpconv_batched
 
@@ -120,8 +168,7 @@ class KPConvLayer(nn.Module):
             q_pts, s_pts, neighb_inds, x, kp.value, weights, self.extent,
             self.cfg.kp_influence, self.cfg.aggregation_mode,
             use_pallas=self.cfg.use_pallas_kpconv,
-            compute_dtype=(jnp.dtype(self.cfg.compute_dtype)
-                           if self.cfg.compute_dtype else None))
+            compute_dtype=compute_dtype)
 
 
 class SimpleBlock(nn.Module):
@@ -132,13 +179,15 @@ class SimpleBlock(nn.Module):
     layer_ind: int
     strided: bool
     cfg: KPFCNConfig
+    deformable: bool = False
 
     @nn.compact
     def __call__(self, x, pyr):
         q_pts, s_pts, inds, q_mask = _conv_io(pyr, self.layer_ind, self.strided)
         extent = self.radius * self.cfg.kp_extent / self.cfg.conv_radius
-        x = KPConvLayer(self.in_dim, self.out_dim // 2, self.radius, extent, self.cfg)(
-            q_pts, s_pts, inds, x)
+        x = KPConvLayer(self.in_dim, self.out_dim // 2, self.radius, extent,
+                        self.cfg, deformable=self.deformable)(
+            q_pts, s_pts, inds, x, q_mask)
         x = NormBlock(self.out_dim // 2, self.cfg.use_batch_norm)(x, q_mask)
         return _leaky(x)
 
@@ -151,6 +200,7 @@ class ResnetBottleneckBlock(nn.Module):
     layer_ind: int
     strided: bool
     cfg: KPFCNConfig
+    deformable: bool = False
 
     @nn.compact
     def __call__(self, x, pyr):
@@ -162,7 +212,8 @@ class ResnetBottleneckBlock(nn.Module):
         h = x
         if self.in_dim != mid:
             h = UnaryBlock(mid, self.cfg.use_batch_norm, no_relu=False)(h, s_mask)
-        h = KPConvLayer(mid, mid, self.radius, extent, self.cfg)(q_pts, s_pts, inds, h)
+        h = KPConvLayer(mid, mid, self.radius, extent, self.cfg,
+                        deformable=self.deformable)(q_pts, s_pts, inds, h, q_mask)
         h = NormBlock(mid, self.cfg.use_batch_norm)(h, q_mask)
         h = _leaky(h)
         h = UnaryBlock(self.out_dim, self.cfg.use_batch_norm, no_relu=True)(h, q_mask)
@@ -238,12 +289,15 @@ class KPFCN(nn.Module):
             if "upsample" in block:
                 break
             strided = "strided" in block
+            deform = "deform" in block  # blocks.py:551, 614
             if block == "unary":
                 enc.append(LevelUnaryBlock(out_dim, cfg.use_batch_norm, layer, name=f"enc{bi}_unary"))
             elif "simple" in block:
-                enc.append(SimpleBlock(in_dim, out_dim, r, layer, strided, cfg, name=f"enc{bi}_simple"))
+                enc.append(SimpleBlock(in_dim, out_dim, r, layer, strided, cfg,
+                                       deformable=deform, name=f"enc{bi}_simple"))
             elif "resnetb" in block:
-                enc.append(ResnetBottleneckBlock(in_dim, out_dim, r, layer, strided, cfg, name=f"enc{bi}_resnetb"))
+                enc.append(ResnetBottleneckBlock(in_dim, out_dim, r, layer, strided, cfg,
+                                                 deformable=deform, name=f"enc{bi}_resnetb"))
             else:
                 raise ValueError(block)
             in_dim = out_dim // 2 if "simple" in block else out_dim

@@ -94,6 +94,10 @@ def build_pipeline_config(raw: Dict[str, Any]):
         fine_feature_dim=int(kp.get("fine_feature_dim", 264)),
         coarse_level=int(kp.get("coarse_level", -2)),
         compute_dtype=compute_dtype,
+        # deformable family: block names containing 'deform' in
+        # `architecture` turn it on per block; `modulated` is the global
+        # switch the reference reads from config (blocks.py:552)
+        modulated=bool(kp.get("modulated", raw.get("modulated", False))),
     )
     return PipelineConfig(
         kpfcn=kpfcn,
