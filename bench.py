@@ -97,6 +97,11 @@ def main():
     if os.environ.get("DIFFREG_ALIGN_HEADS", "") == "0":
         tf = dataclasses.replace(cfg.coarse_transformer, align_heads=False)
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
+    # half-split rotary lane layout A/B (DIFFREG_ROTARY_HALF=1): the rotary
+    # rotate-90 becomes a contiguous half-swap instead of a stride-2 shuffle
+    if os.environ.get("DIFFREG_ROTARY_HALF", "") == "1":
+        tf = dataclasses.replace(cfg.coarse_transformer, rotary_half=True)
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # bf16 conv gather/contraction (f32 accumulation) — ~1.3x on the
     # gather-bound backbone; override with DIFFREG_COMPUTE_DTYPE=float32
     compute_dtype = os.environ.get("DIFFREG_COMPUTE_DTYPE", "bfloat16")

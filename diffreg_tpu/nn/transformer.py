@@ -66,6 +66,13 @@ class TransformerConfig:
     # padded/true FLOP ratio stays under 4/3 (432/4=108 -> on; 528/4=132
     # would pad to 256, ratio 1.94 -> off).
     align_heads: Optional[bool] = None
+    # Half-split rotary lane layout: fold a per-head even/odd permutation
+    # into the q/k kernels at trace time so the rotary rotate-90 becomes a
+    # contiguous half-swap instead of a stride-2 lane shuffle (a Mosaic
+    # relayout). Attention logits are permutation-invariant — outputs are
+    # bitwise-equivalent up to f32 reassociation (tests/test_rotary_half.py).
+    # Opt-in pending on-chip measurement (bench A/B: DIFFREG_ROTARY_HALF=1).
+    rotary_half: bool = False
 
 
 def resolve_head_pad(d_model: int, n_head: int, align: Optional[bool]) -> int:
@@ -92,6 +99,30 @@ def pad_head_lanes(x, n_head: int, dim: int, dpad: int, axis: int = -1):
     return x.reshape(shape[:axis] + (n_head * dpad,) + shape[axis + 1:])
 
 
+def to_rotary_half(x, n_head: int, dim: int, dpad: int, axis: int = -1):
+    """Scatter a flattened-head feature axis [.., H*dim, ..] into the
+    half-split rotary layout [.., H*dpad, ..]: per head, even (pair-first)
+    features land in the first dpad/2 lanes, odd (pair-second) features in
+    the second dpad/2, each half zero-padded at its tail.
+
+    With q/k kernels AND the rotary cos/sin both in this layout, the
+    interleaved rotate-90 (stride-2 lane shuffle, a Mosaic relayout) becomes
+    a contiguous dpad/2-lane half-swap, and attention logits are invariant
+    (a common permutation + zero pads on q and k). The permutation is folded
+    into the kernels at trace time — zero extra FLOPs, loop-invariant under
+    ``nn.scan``.
+    """
+    assert dim % 2 == 0 and dpad % 2 == 0 and dpad >= dim
+    axis = axis % x.ndim
+    shape = x.shape
+    x = x.reshape(shape[:axis] + (n_head, dim // 2, 2) + shape[axis + 1:])
+    x = jnp.moveaxis(x, axis + 2, axis + 1)      # [.., H, 2, dim/2, ..]
+    pads = [(0, 0)] * x.ndim
+    pads[axis + 2] = (0, (dpad - dim) // 2)
+    x = jnp.pad(x, pads)
+    return x.reshape(shape[:axis] + (n_head * dpad,) + shape[axis + 1:])
+
+
 class _HeadAlignedDense(nn.Module):
     """Drop-in for ``nn.Dense(use_bias=False)`` whose output (mode='split')
     or input (mode='merge') feature axis uses the head-aligned block layout.
@@ -106,6 +137,7 @@ class _HeadAlignedDense(nn.Module):
     head_pad: int
     mode: str                    # 'split' | 'merge'
     dtype: Optional[str] = None
+    rotary_half: bool = False    # split mode: half-split rotary layout
 
     @nn.compact
     def __call__(self, x):
@@ -115,10 +147,23 @@ class _HeadAlignedDense(nn.Module):
             kernel = kernel.astype(self.dtype)
         h, dpad = self.n_head, self.head_pad
         if self.mode == "split":
-            k = pad_head_lanes(kernel, h, self.features // h, dpad, axis=1)
+            scatter = to_rotary_half if self.rotary_half else pad_head_lanes
+            k = scatter(kernel, h, self.features // h, dpad, axis=1)
         else:
             k = pad_head_lanes(kernel, h, self.in_features // h, dpad, axis=0)
         return x @ k
+
+
+def embed_rotary_half(x, cos, sin, n_head: int, dpad: int):
+    """Rotary rotate in the half-split layout (see ``to_rotary_half``):
+    the pair partner sits a contiguous dpad/2 lanes away, so the rotate-90
+    is a half-swap instead of a stride-2 interleave."""
+    b, n, _ = x.shape
+    x4 = x.reshape(b, n, n_head, 2, dpad // 2)
+    x2 = jnp.stack([-x4[:, :, :, 1], x4[:, :, :, 0]], axis=3)
+    out = x4 * cos.reshape(b, n, n_head, 2, dpad // 2) \
+        + x2 * sin.reshape(b, n, n_head, 2, dpad // 2)
+    return out.reshape(x.shape)
 
 
 class GeometryAttentionLayer(nn.Module):
@@ -129,6 +174,7 @@ class GeometryAttentionLayer(nn.Module):
     use_flash: bool = False
     compute_dtype: Optional[str] = None
     head_pad: Optional[int] = None   # padded per-head dim (None == d_model//n_head)
+    rotary_half: bool = False        # q/k + rotary PE in half-split lane layout
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
@@ -141,10 +187,13 @@ class GeometryAttentionLayer(nn.Module):
         if dt is not None:
             x, source = x.astype(dt), source.astype(dt)
 
-        if dpad != dim:
-            mk = lambda name, mode: _HeadAlignedDense(
-                self.d_model, self.d_model, h, dpad, mode, dtype=dt, name=name)
-            q_proj, k_proj, v_proj = (mk(n_, "split") for n_ in ("q_proj", "k_proj", "v_proj"))
+        if dpad != dim or self.rotary_half:
+            mk = lambda name, mode, rh=False: _HeadAlignedDense(
+                self.d_model, self.d_model, h, dpad, mode, dtype=dt,
+                rotary_half=rh, name=name)
+            rh = self.rotary_half
+            q_proj, k_proj = mk("q_proj", "split", rh), mk("k_proj", "split", rh)
+            v_proj = mk("v_proj", "split")
             merge = mk("merge", "merge")
         else:
             q_proj = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)
@@ -153,10 +202,13 @@ class GeometryAttentionLayer(nn.Module):
             merge = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)
 
         def _pe_lanes(pe):
-            # rotary cos/sin in the same head-aligned layout as q/k; callers
-            # (RepositioningTransformer) pre-pad once per PE recompute, the
-            # shape check keeps hand-driven layer use correct
-            if dpad != dim and pe.shape[-2] == self.d_model:
+            # rotary cos/sin in the same lane layout as q/k (head-aligned or
+            # half-split); the shape check keeps pre-transformed PE correct
+            if pe.shape[-2] != self.d_model:
+                return pe
+            if self.rotary_half:
+                return to_rotary_half(pe, h, dim, dpad, axis=-2)
+            if dpad != dim:
                 return pad_head_lanes(pe, h, dim, dpad, axis=-2)
             return pe
 
@@ -169,8 +221,12 @@ class GeometryAttentionLayer(nn.Module):
             if x_pe is not None:
                 xp = _pe_lanes(x_pe).astype(qw.dtype)
                 sp = _pe_lanes(source_pe).astype(kw.dtype)
-                qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
-                kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
+                if self.rotary_half:
+                    qw = embed_rotary_half(qw, xp[..., 0], xp[..., 1], h, dpad)
+                    kw = embed_rotary_half(kw, sp[..., 0], sp[..., 1], h, dpad)
+                else:
+                    qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
+                    kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
         else:
             raise KeyError(self.pe_type)
         vw = v_proj(source)
@@ -235,6 +291,7 @@ class RepositioningTransformer(nn.Module):
                     self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
                     use_flash=self.cfg.flash_attention,
                     compute_dtype=self.cfg.compute_dtype, head_pad=head_pad,
+                    rotary_half=self.cfg.rotary_half,
                     name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":

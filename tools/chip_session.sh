@@ -13,6 +13,9 @@ timeout 2400 python bench.py 20 16 4096 2>&1 | tail -1 | tee "$OUT/bench_aligned
 echo "== bench (align OFF A/B)" | tee -a "$OUT/log"
 DIFFREG_ALIGN_HEADS=0 timeout 2400 python bench.py 20 16 4096 2>&1 | tail -1 | tee "$OUT/bench_unaligned.json"
 
+echo "== bench (half-split rotary A/B)" | tee -a "$OUT/log"
+DIFFREG_ROTARY_HALF=1 timeout 2400 python bench.py 20 16 4096 2>&1 | tail -1 | tee "$OUT/bench_rotary_half.json"
+
 echo "== denoiser profile (padded vs unpadded attention)" | tee -a "$OUT/log"
 timeout 1800 python tools/profile_denoiser.py 2>&1 | tail -20 | tee "$OUT/denoiser.txt"
 
