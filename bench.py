@@ -79,7 +79,10 @@ def main():
     pcfg = PyramidConfig(first_subsampling_dl=0.03, coarse_match_radius=0.1)
     cal_rng = np.random.RandomState(0)
     cal_pairs = [make_pair(cal_rng, n_points)[:2] for _ in range(2)]
-    spec = calibrate_spec(cal_pairs, pcfg, k_cap=40)
+    # neighbor-K percentile A/B (DIFFREG_NEIGHBOR_PCT=80 trims gather rows
+    # ~20%; geometric gate in tools/percentile_k_experiment.py)
+    pct = float(os.environ.get("DIFFREG_NEIGHBOR_PCT", "90"))
+    spec = calibrate_spec(cal_pairs, pcfg, k_cap=40, neighbor_percentile=pct)
     batch, _, _ = synthetic_batch(
         batch_size=batch_size, n_points=n_points, seed=0, spec=spec, cfg=pcfg)
 

@@ -148,7 +148,11 @@ def main(argv=None):
         calib_idx = np.linspace(0, len(ds) - 1, n_calib).astype(int)
         sample_pairs = [(ds[int(i)]["src_pcd"], ds[int(i)]["tgt_pcd"])
                         for i in calib_idx]
-        spec = calibrate_spec(sample_pairs, pyr_cfg)
+        # reference histograms at the 90th percentile; lowering (e.g. 80)
+        # trims gather rows ~20% — gate with tools/percentile_k_experiment.py
+        spec = calibrate_spec(
+            sample_pairs, pyr_cfg,
+            neighbor_percentile=float(raw.get("neighbor_percentile", 90.0)))
         logger.info(f"calibrated spec from {n_calib} pairs: {spec}")
 
         num_workers = int(raw.get("num_workers", 8))

@@ -226,6 +226,37 @@ class TestCalibration:
         assert all(k >= 1 for k in spec.k_neighbors)
         assert spec.n_src > 0 and spec.n_tgt > 0
 
+    def test_neighbor_percentile_monotone(self, rng):
+        # lowering the histogram percentile can only shrink the static K
+        # (the 80th-percentile-K perf lever, tools/percentile_k_experiment.py)
+        from diffreg_tpu.data import PyramidConfig
+        from diffreg_tpu.data.calibrate import calibrate_spec
+
+        pairs = [(rng.rand(400, 3).astype(np.float32),
+                  rng.rand(380, 3).astype(np.float32)) for _ in range(2)]
+        cfg = PyramidConfig(first_subsampling_dl=0.06)
+        lo = calibrate_spec(pairs, cfg, neighbor_percentile=50.0)
+        hi = calibrate_spec(pairs, cfg, neighbor_percentile=99.0)
+        assert all(a <= b for a, b in zip(lo.k_neighbors, hi.k_neighbors))
+        assert all(a <= b for a, b in zip(lo.k_pools, hi.k_pools))
+        assert any(a < b for a, b in zip(lo.k_neighbors, hi.k_neighbors))
+        # padded point/token sizes do not depend on the percentile
+        assert lo.n_points == hi.n_points and lo.n_src == hi.n_src
+
+    def test_percentile_experiment_geometric_gate(self):
+        # the tool's geometric gate runs standalone (pure numpy/scipy) and
+        # reports less influence mass lost than rows dropped — truncation
+        # removes the farthest (least-influential) neighbors first
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from percentile_k_experiment import geometric_gate
+
+        _, specP, geo = geometric_gate(80.0, n_pairs=1, n_points=1024,
+                                       queries_per_cloud=64)
+        assert geo["rows_pct"] <= geo["rows_90"]
+        for lv in geo["levels"]:
+            assert lv["mass_lost_mean"] <= lv["rows_dropped_mean"] + 1e-9
+
 
 class TestBucketedLoading:
     def test_pairs_route_to_fitting_bucket(self, rng):

@@ -16,6 +16,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# tunnel-down escape hatch (see ROADMAP "Known environment quirks")
+if os.environ.get("DIFFREG_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,6 +19,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# tunnel-down escape hatch: the axon backend initializes FIRST on this
+# jaxlib and blocks forever if the tunnel is dead; the config override is
+# the only working CPU force (ROADMAP "Known environment quirks")
+if os.environ.get("DIFFREG_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
