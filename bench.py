@@ -100,10 +100,13 @@ def main():
     if os.environ.get("DIFFREG_ALIGN_HEADS", "") == "0":
         tf = dataclasses.replace(cfg.coarse_transformer, align_heads=False)
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
-    # half-split rotary lane layout A/B (DIFFREG_ROTARY_HALF=1): the rotary
-    # rotate-90 becomes a contiguous half-swap instead of a stride-2 shuffle
-    if os.environ.get("DIFFREG_ROTARY_HALF", "") == "1":
-        tf = dataclasses.replace(cfg.coarse_transformer, rotary_half=True)
+    # half-split rotary lane layout A/B (auto-ON for 432/4 since the 2026-08-19
+    # measurement: warp-active 19.2 -> 23.2 pairs/s; DIFFREG_ROTARY_HALF=0
+    # forces the interleaved layout back for A/B)
+    rot_half = os.environ.get("DIFFREG_ROTARY_HALF", "")
+    if rot_half in ("0", "1"):
+        tf = dataclasses.replace(cfg.coarse_transformer,
+                                 rotary_half=rot_half == "1")
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # bf16 conv gather/contraction (f32 accumulation) — ~1.3x on the
     # gather-bound backbone; override with DIFFREG_COMPUTE_DTYPE=float32

@@ -71,8 +71,21 @@ class TransformerConfig:
     # contiguous half-swap instead of a stride-2 lane shuffle (a Mosaic
     # relayout). Attention logits are permutation-invariant — outputs are
     # bitwise-equivalent up to f32 reassociation (tests/test_rotary_half.py).
-    # Opt-in pending on-chip measurement (bench A/B: DIFFREG_ROTARY_HALF=1).
-    rotary_half: bool = False
+    # None = auto: ON for rotary PE with an even head dim. Measured on v5e
+    # (2026-08-19 bench A/B, batch 16 x 4096 pts, 20 DDIM steps): warp-active
+    # 19.2 -> 23.2 pairs/s (+21%, ~7 ms/step back), headline 39.5 -> 40.0.
+    # Force off with rotary_half=False (bench: DIFFREG_ROTARY_HALF=0).
+    rotary_half: Optional[bool] = None
+
+
+def resolve_rotary_half(pe_type: str, d_model: int, n_head: int,
+                        flag: Optional[bool]) -> bool:
+    """Half-split rotary layout policy: auto-on for rotary PE when the
+    per-head dim pairs up (even). A no-op layout change for other PE types,
+    so auto keeps them on the plain path."""
+    if flag is not None:
+        return flag
+    return pe_type == "rotary" and (d_model // n_head) % 2 == 0
 
 
 def resolve_head_pad(d_model: int, n_head: int, align: Optional[bool]) -> int:
@@ -284,6 +297,8 @@ class RepositioningTransformer(nn.Module):
     def setup(self):
         head_pad = resolve_head_pad(self.cfg.feature_dim, self.cfg.n_head,
                                     self.cfg.align_heads)
+        rotary_half = resolve_rotary_half(self.cfg.pe_type, self.cfg.feature_dim,
+                                          self.cfg.n_head, self.cfg.rotary_half)
         modules = {}
         for i, lt in enumerate(self.cfg.layer_types):
             if lt in ("self", "cross"):
@@ -291,7 +306,7 @@ class RepositioningTransformer(nn.Module):
                     self.cfg.feature_dim, self.cfg.n_head, self.cfg.pe_type,
                     use_flash=self.cfg.flash_attention,
                     compute_dtype=self.cfg.compute_dtype, head_pad=head_pad,
-                    rotary_half=self.cfg.rotary_half,
+                    rotary_half=rotary_half,
                     name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":

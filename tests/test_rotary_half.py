@@ -140,7 +140,8 @@ def test_rotary_half_full_transformer():
     s_mask = jnp.asarray(rng.rand(b, n) > 0.15)
     t_mask = jnp.asarray(rng.rand(b, m) > 0.15)
 
-    base = RepositioningTransformer(cfg)
+    # rotary_half defaults to auto-ON for 432/4 — pin the base explicitly off
+    base = RepositioningTransformer(dataclasses.replace(cfg, rotary_half=False))
     half = RepositioningTransformer(dataclasses.replace(cfg, rotary_half=True))
     params = base.init(jax.random.PRNGKey(0), src_f, tgt_f, s_pcd, t_pcd,
                        s_mask, t_mask)
