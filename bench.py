@@ -108,6 +108,12 @@ def main():
         tf = dataclasses.replace(cfg.coarse_transformer,
                                  rotary_half=rot_half == "1")
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
+    # attention logits layout A/B (measured a wash on v5e 2026-08-19;
+    # default blsh — see TransformerConfig.logits_layout)
+    layout = os.environ.get("DIFFREG_LOGITS_LAYOUT", "")
+    if layout in ("bhls", "blsh"):
+        tf = dataclasses.replace(cfg.coarse_transformer, logits_layout=layout)
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # bf16 conv gather/contraction (f32 accumulation) — ~1.3x on the
     # gather-bound backbone; override with DIFFREG_COMPUTE_DTYPE=float32
     compute_dtype = os.environ.get("DIFFREG_COMPUTE_DTYPE", "bfloat16")

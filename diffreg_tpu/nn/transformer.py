@@ -76,6 +76,15 @@ class TransformerConfig:
     # 19.2 -> 23.2 pairs/s (+21%, ~7 ms/step back), headline 39.5 -> 40.0.
     # Force off with rotary_half=False (bench: DIFFREG_ROTARY_HALF=0).
     rotary_half: Optional[bool] = None
+    # Attention logits layout. 'bhls' keeps the [B,H,L,S] batch layout the
+    # MXU dot naturally produces (S=704 on the 128-lane minor axis for the
+    # softmax); 'blsh' is the einsum layout the code always used. Measured a
+    # WASH on v5e (2026-08-19: warp-active 23.10 vs 23.15 pairs/s, headline
+    # within the 10% run variance) — XLA already lays the logits out well in
+    # either spelling, so the default stays the long-validated 'blsh'. The
+    # lever + parity tests (tests/test_logits_layout.py) are kept for other
+    # TPU generations. Bench A/B: DIFFREG_LOGITS_LAYOUT=bhls|blsh.
+    logits_layout: str = "blsh"
 
 
 def resolve_rotary_half(pe_type: str, d_model: int, n_head: int,
@@ -188,6 +197,7 @@ class GeometryAttentionLayer(nn.Module):
     compute_dtype: Optional[str] = None
     head_pad: Optional[int] = None   # padded per-head dim (None == d_model//n_head)
     rotary_half: bool = False        # q/k + rotary PE in half-split lane layout
+    logits_layout: str = "blsh"      # 'blsh' (default) | 'bhls' (measured wash)
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
@@ -260,6 +270,27 @@ class GeometryAttentionLayer(nn.Module):
                 vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret,
                 scale=1.0 / (dim ** 0.5))
             o = o.transpose(0, 2, 1, 3)
+        elif self.logits_layout == "bhls":
+            # [B,H,L,S] is the dot_general batch layout (no transpose) and
+            # puts S on the 128-lane minor axis for the mask/scale/softmax
+            # passes over the logits — the big per-step HBM tensor.
+            if dt is not None:
+                # bf16 inputs, f32 logits/softmax, bf16 AV
+                a = jnp.einsum("blhd,bshd->bhls", qw, kw,
+                               preferred_element_type=jnp.float32)
+            else:
+                a = jnp.einsum("blhd,bshd->bhls", qw, kw, precision=get_precision())
+            if source_mask is not None:
+                # reference semantics: mask only (valid q, invalid kv) entries
+                bad = x_mask[:, None, :, None] & (~source_mask[:, None, None, :])
+                a = jnp.where(bad, NEG_INF, a)
+            a = a / jnp.sqrt(jnp.asarray(dim, a.dtype))
+            a = jax.nn.softmax(a, axis=-1)
+            if dt is not None:
+                o = jnp.einsum("bhls,bshd->blhd", a.astype(dt), vw,
+                               preferred_element_type=jnp.float32).astype(dt)
+            else:
+                o = jnp.einsum("bhls,bshd->blhd", a, vw, precision=get_precision())
         else:
             if dt is not None:
                 # bf16 inputs, f32 logits/softmax, bf16 AV
@@ -307,6 +338,7 @@ class RepositioningTransformer(nn.Module):
                     use_flash=self.cfg.flash_attention,
                     compute_dtype=self.cfg.compute_dtype, head_pad=head_pad,
                     rotary_half=rotary_half,
+                    logits_layout=self.cfg.logits_layout,
                     name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":
