@@ -108,6 +108,13 @@ def main():
         tf = dataclasses.replace(cfg.coarse_transformer,
                                  rotary_half=rot_half == "1")
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
+    # fused rotary+proj A/B (folds the rotary rotate-90 into the q/k kernels;
+    # one [C,5C] matmul per self-attention — opt-in until measured)
+    if os.environ.get("DIFFREG_FUSED_ROTARY", "") in ("0", "1"):
+        tf = dataclasses.replace(
+            cfg.coarse_transformer,
+            fused_rotary_qkv=os.environ["DIFFREG_FUSED_ROTARY"] == "1")
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # attention logits layout A/B (measured a wash on v5e 2026-08-19;
     # default blsh — see TransformerConfig.logits_layout)
     layout = os.environ.get("DIFFREG_LOGITS_LAYOUT", "")

@@ -76,6 +76,18 @@ class TransformerConfig:
     # 19.2 -> 23.2 pairs/s (+21%, ~7 ms/step back), headline 39.5 -> 40.0.
     # Force off with rotary_half=False (bench: DIFFREG_ROTARY_HALF=0).
     rotary_half: Optional[bool] = None
+    # Fused rotary+projection: fold the rotary rotate-90 into the q/k
+    # kernels as a second (sign-permuted) column block, so each of q/k is
+    # ONE [C, 2*C_pad] matmul followed by a single cos/sin fma — no separate
+    # rotate pass over the [B,L,C] activations. Self-attention layers
+    # further concatenate q/q_rot/k/k_rot/v into ONE [C, 5*C_pad] matmul
+    # (attention at 704 tokens is latency- not FLOP-bound on v5e, so trading
+    # 2x q/k proj FLOPs for fewer passes is the right direction — measure
+    # before defaulting). Checkpoint pytree is unchanged (same
+    # q_proj/k_proj/v_proj kernels, permuted at trace time, loop-invariant
+    # under nn.scan). None = off (opt-in until measured); bench A/B:
+    # DIFFREG_FUSED_ROTARY=1. Parity: tests/test_fused_rotary.py.
+    fused_rotary_qkv: Optional[bool] = None
     # Attention logits layout. 'bhls' keeps the [B,H,L,S] batch layout the
     # MXU dot naturally produces (S=704 on the 128-lane minor axis for the
     # softmax); 'blsh' is the einsum layout the code always used. Measured a
@@ -176,6 +188,49 @@ class _HeadAlignedDense(nn.Module):
         return x @ k
 
 
+class _ProjKernel(nn.Module):
+    """Bare dense kernel with the same pytree path/shape/init as
+    ``nn.Dense(use_bias=False)`` / ``_HeadAlignedDense`` — used by the fused
+    rotary+proj path, which assembles the matmul itself."""
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+def _pe_lanes_impl(pe, d_model: int, n_head: int, dim: int, dpad: int,
+                   rotary_half: bool):
+    """Rotary cos/sin in the same lane layout as q/k (head-aligned or
+    half-split); the shape check keeps pre-transformed PE correct."""
+    if pe.shape[-2] != d_model:
+        return pe
+    if rotary_half:
+        return to_rotary_half(pe, n_head, dim, dpad, axis=-2)
+    if dpad != dim:
+        return pad_head_lanes(pe, n_head, dim, dpad, axis=-2)
+    return pe
+
+
+def rot90_kernel_cols(k, n_head: int, dpad: int, half: bool):
+    """Apply the rotary rotate-90 as a column permutation of a projection
+    kernel already scattered to the [in, H*dpad] lane layout, so that
+    ``rot90(x @ K) == x @ rot90_kernel_cols(K)``.
+
+    half=True: half-split layout (see ``to_rotary_half``) — the pair partner
+    is a contiguous dpad/2 block; half=False: interleaved pairs (adjacent
+    lanes), matching ``embed_rotary``. Zero pad lanes stay zero either way.
+    """
+    c = k.shape[0]
+    if half:
+        k4 = k.reshape(c, n_head, 2, dpad // 2)
+        out = jnp.stack([-k4[:, :, 1], k4[:, :, 0]], axis=2)
+    else:
+        k4 = k.reshape(c, n_head * dpad // 2, 2)
+        out = jnp.stack([-k4[..., 1], k4[..., 0]], axis=-1)
+    return out.reshape(c, n_head * dpad)
+
+
 def embed_rotary_half(x, cos, sin, n_head: int, dpad: int):
     """Rotary rotate in the half-split layout (see ``to_rotary_half``):
     the pair partner sits a contiguous dpad/2 lanes away, so the rotate-90
@@ -198,6 +253,7 @@ class GeometryAttentionLayer(nn.Module):
     head_pad: Optional[int] = None   # padded per-head dim (None == d_model//n_head)
     rotary_half: bool = False        # q/k + rotary PE in half-split lane layout
     logits_layout: str = "blsh"      # 'blsh' (default) | 'bhls' (measured wash)
+    fused_qkv: bool = False          # fused rotary+proj (rotary PE only)
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
@@ -210,7 +266,58 @@ class GeometryAttentionLayer(nn.Module):
         if dt is not None:
             x, source = x.astype(dt), source.astype(dt)
 
-        if dpad != dim or self.rotary_half:
+        fused = (self.fused_qkv and self.pe_type == "rotary"
+                 and not self.use_flash and x_pe is not None)
+        if fused:
+            # fused rotary+proj (see TransformerConfig.fused_rotary_qkv):
+            # identical q_proj/k_proj/v_proj kernels, scattered + rot90-
+            # permuted at trace time; q/k land rotated via one fma each.
+            cc = self.d_model
+            wq = _ProjKernel((cc, cc), name="q_proj")()
+            wk = _ProjKernel((cc, cc), name="k_proj")()
+            wv = _ProjKernel((cc, cc), name="v_proj")()
+            merge = (_HeadAlignedDense(cc, cc, h, dpad, "merge", dtype=dt,
+                                       name="merge")
+                     if dpad != dim else
+                     nn.Dense(cc, use_bias=False, name="merge", dtype=dt))
+            if dt is not None:
+                wq, wk, wv = wq.astype(dt), wk.astype(dt), wv.astype(dt)
+            if self.rotary_half:
+                scat = lambda w: to_rotary_half(w, h, dim, dpad, axis=1)
+            elif dpad != dim:
+                scat = lambda w: pad_head_lanes(w, h, dim, dpad, axis=1)
+            else:
+                scat = lambda w: w
+            wq, wk = scat(wq), scat(wk)
+            wv = (pad_head_lanes(wv, h, dim, dpad, axis=1)
+                  if dpad != dim else wv)
+            wqr = rot90_kernel_cols(wq, h, dpad, self.rotary_half)
+            wkr = rot90_kernel_cols(wk, h, dpad, self.rotary_half)
+            hd = h * dpad
+
+            def _pe_cs(pe, ref_dtype):
+                pe = _pe_lanes_impl(pe, self.d_model, h, dim, dpad,
+                                    self.rotary_half)
+                return (pe[..., 0].astype(ref_dtype),
+                        pe[..., 1].astype(ref_dtype))
+
+            if x is source and x_pe is source_pe:
+                # self-attention: ONE [C, 5*H*dpad] matmul for q/q_rot/
+                # k/k_rot/v
+                big = x @ jnp.concatenate([wq, wqr, wk, wkr, wv], axis=1)
+                cos, sin = _pe_cs(x_pe, big.dtype)
+                qw = big[..., 0 * hd:1 * hd] * cos + big[..., 1 * hd:2 * hd] * sin
+                kw = big[..., 2 * hd:3 * hd] * cos + big[..., 3 * hd:4 * hd] * sin
+                vw = big[..., 4 * hd:5 * hd]
+            else:
+                q2 = x @ jnp.concatenate([wq, wqr], axis=1)
+                kv = source @ jnp.concatenate([wk, wkr, wv], axis=1)
+                qcos, qsin = _pe_cs(x_pe, q2.dtype)
+                kcos, ksin = _pe_cs(source_pe, kv.dtype)
+                qw = q2[..., :hd] * qcos + q2[..., hd:] * qsin
+                kw = kv[..., :hd] * kcos + kv[..., hd:2 * hd] * ksin
+                vw = kv[..., 2 * hd:]
+        elif dpad != dim or self.rotary_half:
             mk = lambda name, mode, rh=False: _HeadAlignedDense(
                 self.d_model, self.d_model, h, dpad, mode, dtype=dt,
                 rotary_half=rh, name=name)
@@ -224,35 +331,27 @@ class GeometryAttentionLayer(nn.Module):
             v_proj = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)
             merge = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)
 
-        def _pe_lanes(pe):
-            # rotary cos/sin in the same lane layout as q/k (head-aligned or
-            # half-split); the shape check keeps pre-transformed PE correct
-            if pe.shape[-2] != self.d_model:
-                return pe
-            if self.rotary_half:
-                return to_rotary_half(pe, h, dim, dpad, axis=-2)
-            if dpad != dim:
-                return pad_head_lanes(pe, h, dim, dpad, axis=-2)
-            return pe
-
-        if self.pe_type == "sinusoidal":
-            q_in = x + (x_pe.astype(x.dtype) if x_pe is not None else 0)
-            k_in = source + (source_pe.astype(x.dtype) if source_pe is not None else 0)
-            qw, kw = q_proj(q_in), k_proj(k_in)
-        elif self.pe_type == "rotary":
-            qw, kw = q_proj(x), k_proj(source)
-            if x_pe is not None:
-                xp = _pe_lanes(x_pe).astype(qw.dtype)
-                sp = _pe_lanes(source_pe).astype(kw.dtype)
-                if self.rotary_half:
-                    qw = embed_rotary_half(qw, xp[..., 0], xp[..., 1], h, dpad)
-                    kw = embed_rotary_half(kw, sp[..., 0], sp[..., 1], h, dpad)
-                else:
-                    qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
-                    kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
-        else:
-            raise KeyError(self.pe_type)
-        vw = v_proj(source)
+        if not fused:
+            _pe_lanes = lambda pe: _pe_lanes_impl(
+                pe, self.d_model, h, dim, dpad, self.rotary_half)
+            if self.pe_type == "sinusoidal":
+                q_in = x + (x_pe.astype(x.dtype) if x_pe is not None else 0)
+                k_in = source + (source_pe.astype(x.dtype) if source_pe is not None else 0)
+                qw, kw = q_proj(q_in), k_proj(k_in)
+            elif self.pe_type == "rotary":
+                qw, kw = q_proj(x), k_proj(source)
+                if x_pe is not None:
+                    xp = _pe_lanes(x_pe).astype(qw.dtype)
+                    sp = _pe_lanes(source_pe).astype(kw.dtype)
+                    if self.rotary_half:
+                        qw = embed_rotary_half(qw, xp[..., 0], xp[..., 1], h, dpad)
+                        kw = embed_rotary_half(kw, sp[..., 0], sp[..., 1], h, dpad)
+                    else:
+                        qw = embed_rotary(qw, xp[..., 0], xp[..., 1])
+                        kw = embed_rotary(kw, sp[..., 0], sp[..., 1])
+            else:
+                raise KeyError(self.pe_type)
+            vw = v_proj(source)
 
         qw = qw.reshape(b, -1, h, dpad)
         kw = kw.reshape(b, -1, h, dpad)
@@ -330,6 +429,7 @@ class RepositioningTransformer(nn.Module):
                                     self.cfg.align_heads)
         rotary_half = resolve_rotary_half(self.cfg.pe_type, self.cfg.feature_dim,
                                           self.cfg.n_head, self.cfg.rotary_half)
+        fused_qkv = bool(self.cfg.fused_rotary_qkv)
         modules = {}
         for i, lt in enumerate(self.cfg.layer_types):
             if lt in ("self", "cross"):
@@ -339,6 +439,7 @@ class RepositioningTransformer(nn.Module):
                     compute_dtype=self.cfg.compute_dtype, head_pad=head_pad,
                     rotary_half=rotary_half,
                     logits_layout=self.cfg.logits_layout,
+                    fused_qkv=fused_qkv,
                     name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":
