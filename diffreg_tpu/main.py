@@ -257,6 +257,10 @@ def main(argv=None):
                 f"pretrain={pretrain!r} not found. Pass a valid 'pretrain' in "
                 "the config, or use --demo for a synthetic smoke run.")
         pose_backend = str(raw.get("eval", {}).get("pose_backend", "device"))
+        # device-RANSAC budget: default 65536 == reference 50k-iter parity at
+        # the hard-pair tail (budget study, ROADMAP); YAML eval.ransac_hypotheses
+        # overrides (fixture smokes use a small budget on CPU)
+        ransac_h = int(raw.get("eval", {}).get("ransac_hypotheses", 65536))
         if pose_backend == "open3d":
             from .eval.host_estimators import has_open3d
 
@@ -269,13 +273,16 @@ def main(argv=None):
 
             tcfg = TestConfig(inlier_thr=0.04,
                               match_thr=args.thr if args.thr is not None else 0.55,
-                              pose_backend=pose_backend)
+                              pose_backend=pose_backend,
+                              ransac_hypotheses=ransac_h)
             tester = FourDMatchTester(model, variables, tcfg, logger, mesh=mesh)
             tester.test(make_test_iter, rng=rng,
                         metric_points_fn=make_metric_points_fn())
         else:
             tester = ThreeDMatchTester(
-                model, variables, TestConfig(pose_backend=pose_backend),
+                model, variables,
+                TestConfig(pose_backend=pose_backend,
+                           ransac_hypotheses=ransac_h),
                 logger, mesh=mesh)
             tester.test(make_test_iter, rng=rng)
     if loader_stats.get("pairs_dropped"):

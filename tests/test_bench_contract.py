@@ -38,6 +38,29 @@ def test_bench_main_prints_contract_json(monkeypatch):
     assert "mfu_pct" in d and "achieved_tflops" in d
 
 
+@pytest.mark.slow
+def test_bench_main_fused_rotary_ab_env(monkeypatch):
+    """The DIFFREG_FUSED_ROTARY A/B path must run end to end (the on-chip
+    A/B depends on this env plumbing working)."""
+    import bench
+    from diffreg_tpu.utils.precision import set_precision
+
+    monkeypatch.setenv("DIFFREG_COMPUTE_DTYPE", "float32")
+    monkeypatch.setenv("DIFFREG_FUSED_ROTARY", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "1", "1", "192"])
+    buf = io.StringIO()
+    stdout = sys.stdout
+    try:
+        sys.stdout = buf
+        bench.main()
+    finally:
+        sys.stdout = stdout
+        set_precision("highest")
+
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["value"] > 0
+
+
 def _orchestrate(monkeypatch, capsys, **env):
     import bench
 

@@ -62,6 +62,9 @@ def _tiny_model_yaml(extra: dict) -> dict:
         "calibration_pairs": 3,
         "SAMPLE_STEP": 2,
         "mode": "test",
+        # the production default (65536, reference 50k-iter parity) is a CPU
+        # compile/runtime hog at fixture scale
+        "eval": {"ransac_hypotheses": 1024},
     }
     base.update(extra)
     return base
