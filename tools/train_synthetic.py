@@ -84,8 +84,9 @@ def main():
     # disjoint splits: VAL picks the checkpoint, TEST is only reported
     heldout = [synthetic_batch(batch_size=batch_size, n_points=512,
                                seed=10_000 + s)[0] for s in range(4)]
+    n_val = int(os.environ.get("DIFFREG_VAL_BATCHES", "2"))
     val_batches = [synthetic_batch(batch_size=batch_size, n_points=512,
-                                   seed=20_000 + s)[0] for s in range(2)]
+                                   seed=20_000 + s)[0] for s in range(n_val)]
 
     import queue
     import threading
@@ -134,9 +135,11 @@ def main():
             ir = masked_inlier_ratio(mask, s_pcd, t_pcd, rot_gt, trn_gt[:, 0],
                                      inlier_thr=0.1)
             corrs = extract_correspondences(mask, conf, 512)
+            # 16384 covers the low-IR tail per the budget study (ROADMAP):
+            # failures past ~8k hypotheses are matcher quality, not RANSAC
             res = ransac_pose(jax.random.PRNGKey(7), s_pcd[corrs.src_idx],
                               t_pcd[corrs.tgt_idx], corrs.valid,
-                              distance_threshold=0.05, num_hypotheses=4096)
+                              distance_threshold=0.05, num_hypotheses=16384)
             return rotation_error_deg(res.rotation[None], rot_gt[None])[0], ir
 
         return jax.vmap(one)(out["conf_matrix_pred"], out["corr_mask"],
