@@ -200,6 +200,13 @@ def main(argv=None):
     if mode == "train":
         from .engine import make_eval_step
 
+        # archive the training run's source + configs next to its
+        # checkpoints (reference main.py:66-74), master process only
+        if dist["process_index"] == 0:
+            from .utils.snapshot import backup_sources
+
+            backup_sources(save_dir, args.config)
+
         state = create_train_state(model, probe_batch, rng, optim_cfg)
         if mesh is not None:
             from .parallel.mesh import make_parallel_train_step, replicate
@@ -419,6 +426,9 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         from .engine.losses2d3d import CircleLossConfig
         from .engine.train2d3d import create_train_state_2d3d, make_train_step_2d3d
         from .engine.trainer import Trainer, TrainerConfig
+        from .utils.snapshot import backup_sources
+
+        backup_sources(save_dir, args.config)
 
         from .engine.losses2d3d import FineLossConfig
 

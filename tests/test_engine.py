@@ -494,3 +494,38 @@ class TestWarmupSchedules:
         state = tx.init(params)
         updates, state = tx.update({"w": jnp.ones(3)}, state, params)
         assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+class TestSourceBackup:
+    """Train-time source backup twin (reference main.py:66-74)."""
+
+    def test_backup_sources(self, tmp_path):
+        from diffreg_tpu.utils.snapshot import backup_sources
+
+        dst = backup_sources(str(tmp_path), config_path=None)
+        assert os.path.isdir(os.path.join(dst, "diffreg_tpu"))
+        assert os.path.isfile(os.path.join(dst, "diffreg_tpu", "main.py"))
+        assert os.path.isdir(os.path.join(dst, "configs"))
+        # no bytecode/artifacts in the archive
+        for root, dirs, files in os.walk(dst):
+            assert "__pycache__" not in dirs
+            assert not [f for f in files if f.endswith((".pyc", ".so"))]
+
+    def test_idempotent_on_resume(self, tmp_path):
+        from diffreg_tpu.utils.snapshot import backup_sources
+
+        dst = backup_sources(str(tmp_path))
+        marker = os.path.join(dst, "marker")
+        with open(marker, "w") as f:
+            f.write("started-run code")
+        assert backup_sources(str(tmp_path)) == dst
+        assert os.path.exists(marker), "resume must not clobber the backup"
+
+    def test_copies_the_run_yaml(self, tmp_path):
+        from diffreg_tpu.utils.snapshot import backup_sources
+
+        cfg = tmp_path / "exp.yaml"
+        cfg.write_text("exp_dir: x\n")
+        out = tmp_path / "run"
+        dst = backup_sources(str(out), str(cfg))
+        assert os.path.isfile(os.path.join(dst, "exp.yaml"))
