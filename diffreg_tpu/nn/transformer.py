@@ -97,6 +97,14 @@ class TransformerConfig:
     # lever + parity tests (tests/test_logits_layout.py) are kept for other
     # TPU generations. Bench A/B: DIFFREG_LOGITS_LAYOUT=bhls|blsh.
     logits_layout: str = "blsh"
+    # Flash (Pallas) kernel tile sizes — autotunable per TPU generation via
+    # tools/tune_flash_attention.py. A kv_tile >= the key count collapses
+    # the online softmax to a single pass (all keys fit VMEM at coarse
+    # sizes). flash_out_f32=False writes the kernel output in the compute
+    # dtype (halves the output HBM write when running bf16).
+    flash_q_tile: int = 256
+    flash_kv_tile: int = 256
+    flash_out_f32: bool = True
 
 
 def resolve_rotary_half(pe_type: str, d_model: int, n_head: int,
@@ -254,6 +262,9 @@ class GeometryAttentionLayer(nn.Module):
     rotary_half: bool = False        # q/k + rotary PE in half-split lane layout
     logits_layout: str = "blsh"      # 'blsh' (default) | 'bhls' (measured wash)
     fused_qkv: bool = False          # fused rotary+proj (rotary PE only)
+    flash_q_tile: int = 256          # Pallas kernel tiles (see TransformerConfig)
+    flash_kv_tile: int = 256
+    flash_out_f32: bool = True
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, x_mask=None, source_mask=None):
@@ -367,7 +378,9 @@ class GeometryAttentionLayer(nn.Module):
             o = masked_attention_pallas(
                 qw.transpose(0, 2, 1, 3), kw.transpose(0, 2, 1, 3),
                 vw.transpose(0, 2, 1, 3), source_mask, interpret=interpret,
-                scale=1.0 / (dim ** 0.5))
+                q_tile=self.flash_q_tile, kv_tile=self.flash_kv_tile,
+                scale=1.0 / (dim ** 0.5),
+                out_dtype=None if self.flash_out_f32 else qw.dtype)
             o = o.transpose(0, 2, 1, 3)
         elif self.logits_layout == "bhls":
             # [B,H,L,S] is the dot_general batch layout (no transpose) and
@@ -440,6 +453,9 @@ class RepositioningTransformer(nn.Module):
                     rotary_half=rotary_half,
                     logits_layout=self.cfg.logits_layout,
                     fused_qkv=fused_qkv,
+                    flash_q_tile=self.cfg.flash_q_tile,
+                    flash_kv_tile=self.cfg.flash_kv_tile,
+                    flash_out_f32=self.cfg.flash_out_f32,
                     name=f"layer{i}_{lt}")
             elif lt == "positioning":
                 if self.cfg.positioning_type == "procrustes":

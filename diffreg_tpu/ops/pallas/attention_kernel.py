@@ -53,17 +53,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, *, scale, kv_tile, n_
         return m_new, l_new, acc_new
 
     m_i, l_i, acc = jax.lax.fori_loop(0, steps, body, (m_i, l_i, acc))
-    out_ref[0, 0, :, :] = acc / jnp.maximum(l_i, 1e-30)
+    out = acc / jnp.maximum(l_i, 1e-30)
+    out_ref[0, 0, :, :] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
-                            interpret=False, scale=None):
+                            interpret=False, scale=None, out_dtype=None):
     """q [B, H, L, D], k/v [B, H, S, D], kv_mask [B, S] -> out [B, H, L, D].
 
     ``scale`` overrides the 1/sqrt(D) logit scale — required when D is a
     lane-padded head dim (nn.transformer align_heads) and the true head dim
     must set the temperature.
+
+    ``out_dtype`` sets the output element type (default f32, the historic
+    behavior); pass the input dtype (bf16) to halve the output HBM write
+    when the consumer is a bf16 merge projection anyway. Accumulation is
+    always f32 in VMEM regardless.
+
+    ``kv_tile >= S`` degenerates to a single-pass softmax (no online
+    rescaling) — the right mode at coarse-matching sizes where all keys fit
+    in VMEM; tiles are autotunable via tools/tune_flash_attention.py.
 
     Reference mask semantics: invalid keys suppressed for all queries
     (invalid queries produce garbage rows that callers mask, exactly like
@@ -74,15 +84,20 @@ def masked_attention_pallas(q, k, v, kv_mask, q_tile=256, kv_tile=256,
     backward kernels are a later optimization — training throughput is not
     attention-bound here).
     """
-    return _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale)
+    return _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale,
+                    out_dtype)
 
 
 def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False,
-             scale=None):
+             scale=None, out_dtype=None):
     b, h, l, d = q.shape
     s = k.shape[2]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    # a kv_tile beyond the (lane-rounded) key count just means "one pass"
+    kv_tile = min(kv_tile, ((s + 127) // 128) * 128)
 
     pad_l = (-l) % q_tile
     pad_s = (-s) % kv_tile
@@ -112,7 +127,7 @@ def _forward(q, k, v, kv_mask, q_tile=256, kv_tile=256, interpret=False,
         ],
         out_specs=pl.BlockSpec((1, 1, q_tile, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lp, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, lp, d), out_dtype),
         interpret=interpret,
     )(q, k, v, kvm)
     return out[:, :, :l, :]
@@ -127,15 +142,17 @@ def _attn_probs(q, k, kv_mask, scale=None):
     return jax.nn.softmax(s, axis=-1)
 
 
-def _fwd(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale):
-    out = _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale)
+def _fwd(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale, out_dtype):
+    out = _forward(q, k, v, kv_mask, q_tile, kv_tile, interpret, scale,
+                   out_dtype)
     return out, (q, k, v, kv_mask)
 
 
-def _bwd(q_tile, kv_tile, interpret, scale, res, g):
+def _bwd(q_tile, kv_tile, interpret, scale, out_dtype, res, g):
     q, k, v, kv_mask = res
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    g = g.astype(jnp.float32)
     p = _attn_probs(q, k, kv_mask, scale)                             # [B,H,L,S]
     dv = jnp.einsum("bhls,bhld->bhsd", p, g, precision=jax.lax.Precision.HIGHEST)
     dp = jnp.einsum("bhld,bhsd->bhls", g, v, precision=jax.lax.Precision.HIGHEST)
@@ -144,7 +161,7 @@ def _bwd(q_tile, kv_tile, interpret, scale, res, g):
     ds = ds * scale
     dq = jnp.einsum("bhls,bhsd->bhld", ds, k, precision=jax.lax.Precision.HIGHEST)
     dk = jnp.einsum("bhls,bhld->bhsd", ds, q, precision=jax.lax.Precision.HIGHEST)
-    return dq, dk, dv, None
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 masked_attention_pallas.defvjp(_fwd, _bwd)
