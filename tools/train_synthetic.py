@@ -11,7 +11,11 @@ held-out numbers come from a disjoint TEST split (seeds 10k+) through the
 full DDIM + RANSAC path. Saves orbax checkpoints (final + best-val) and a
 metrics JSON next to them.
 
-Run: python tools/train_synthetic.py [minutes] [batch_size] [out_dir]
+Run:      python tools/train_synthetic.py [minutes] [batch_size] [out_dir]
+Finalize: python tools/train_synthetic.py finalize [out_dir] [batch_size]
+          — recovers the run if the training process was killed: restores the
+          best-val checkpoint from disk (saved at EVERY val improvement) and
+          re-runs the test-split eval, flipping metrics.json partial->False.
 Env: DIFFREG_POOL (pool slots), DIFFREG_FRESH=0 (disable streaming),
      DIFFREG_EVAL_EVERY, DIFFREG_RATE_EST (steps/s estimate for the cosine
      horizon), DIFFREG_PRECISION.
@@ -38,26 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    out_dir = sys.argv[3] if len(sys.argv) > 3 else "snapshot/train-synthetic"
-
-    from diffreg_tpu.utils.precision import set_precision
-
-    set_precision(os.environ.get("DIFFREG_PRECISION", "default"))
-
-    from diffreg_tpu.data import synthetic_batch
-    from diffreg_tpu.engine import (LossConfig, OptimConfig, create_train_state,
-                                    make_train_step)
-    from diffreg_tpu.engine.checkpoint import CheckpointManager
-    from diffreg_tpu.eval import ransac_pose
-    from diffreg_tpu.geometry import rotation_error_deg
+def build_model():
+    """The small-but-full 3DMatch story model (same shrink as the overfit
+    check), warp ACTIVE."""
     from diffreg_tpu.models import DiffusionMatchingModel
     from diffreg_tpu.models.presets import preset_3dmatch
-    from diffreg_tpu.ops.select import extract_correspondences
 
-    # small-but-full model (same shrink as the overfit check), warp ACTIVE
     base = preset_3dmatch(sample_steps=10, train=True)
     matching = dataclasses.replace(base.coarse_matching, feature_dim=96)
     transformer = dataclasses.replace(
@@ -70,7 +60,108 @@ def main():
                                 compute_dtype="bfloat16")
     cfg = dataclasses.replace(base, kpfcn=kpfcn, coarse_transformer=transformer,
                               coarse_matching=matching)
-    model = DiffusionMatchingModel(cfg)
+    return DiffusionMatchingModel(cfg)
+
+
+def make_split_success(model):
+    """jitted DDIM+RANSAC eval -> (success@5deg, RREs, mean IR) over batches."""
+    from diffreg_tpu.eval import ransac_pose
+    from diffreg_tpu.eval.metrics import masked_inlier_ratio
+    from diffreg_tpu.geometry import rotation_error_deg
+    from diffreg_tpu.ops.select import extract_correspondences
+
+    def _eval(variables, batch):
+        out = model.apply(variables, batch, jax.random.PRNGKey(99), mode="ddim")
+
+        def one(conf, mask, s_pcd, t_pcd, rot_gt, trn_gt):
+            ir = masked_inlier_ratio(mask, s_pcd, t_pcd, rot_gt, trn_gt[:, 0],
+                                     inlier_thr=0.1)
+            corrs = extract_correspondences(mask, conf, 512)
+            # 16384 covers the low-IR tail per the budget study (ROADMAP):
+            # failures past ~8k hypotheses are matcher quality, not RANSAC
+            res = ransac_pose(jax.random.PRNGKey(7), s_pcd[corrs.src_idx],
+                              t_pcd[corrs.tgt_idx], corrs.valid,
+                              distance_threshold=0.05, num_hypotheses=16384)
+            return rotation_error_deg(res.rotation[None], rot_gt[None])[0], ir
+
+        return jax.vmap(one)(out["conf_matrix_pred"], out["corr_mask"],
+                             out["s_pcd"], out["t_pcd"], batch.rot_gt,
+                             batch.trn_gt)
+
+    eval_fn = jax.jit(_eval)
+
+    def split_success(variables, batches):
+        res = [eval_fn(variables, b) for b in batches]
+        rres = np.concatenate([np.asarray(r[0]) for r in res])
+        irs = np.concatenate([np.asarray(r[1]) for r in res])
+        return float((rres < 5.0).mean()), rres, float(irs.mean())
+
+    return split_success
+
+
+def ckpt_save(mgr, step, state, metrics):
+    """Best-effort checkpoint save — a step collision or transient orbax
+    error must never kill a multi-hour training run."""
+    try:
+        mgr.save(step, state, metrics)
+    except Exception as e:  # noqa: BLE001
+        print(f"ckpt save @{step} failed (non-fatal): {e}", flush=True)
+
+
+def finalize(out_dir, batch_size):
+    """Recover a killed run: restore the best-val checkpoint from disk and
+    re-run the held-out test eval, flipping metrics.json partial->False."""
+    from diffreg_tpu.data import synthetic_batch
+    from diffreg_tpu.engine.checkpoint import CheckpointManager
+
+    model = build_model()
+    heldout = [synthetic_batch(batch_size=batch_size, n_points=512,
+                               seed=10_000 + s)[0] for s in range(4)]
+    rng = jax.random.PRNGKey(0)
+    template = model.init({"params": rng}, heldout[0], rng, mode="train")
+    template = {"params": template["params"],
+                "buffers": template.get("buffers", {})}
+    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    step = mgr.best_step("val_success")
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise SystemExit(f"no checkpoints under {out_dir}/checkpoints")
+    sel = mgr.restore(template, step)
+    split_success = make_split_success(model)
+    s1, rres, ir1 = split_success(sel, heldout)
+    print(f"finalize: best-val ckpt @{step}: test success {s1:.2f} "
+          f"IR {ir1:.3f} (RRE {np.round(np.asarray(rres), 1)})", flush=True)
+    path = os.path.join(out_dir, "metrics.json")
+    with open(path) as f:
+        payload = json.load(f)
+    payload.update({"partial": False, "heldout_success_after": s1,
+                    "heldout_ir_after": ir1,
+                    "heldout_rre_deg": np.asarray(rres).tolist(),
+                    "selected_step": int(step),
+                    "finalized_from_checkpoint": True,
+                    "test_pairs": len(heldout) * batch_size,
+                    "protocol": "best-val-checkpoint (recovered from disk) "
+                                "evaluated on disjoint test split (val seeds "
+                                "20k+, test seeds 10k+)"})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, path)
+    print("finalized", path, flush=True)
+
+
+def main():
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "snapshot/train-synthetic"
+
+    from diffreg_tpu.data import synthetic_batch
+    from diffreg_tpu.engine import (LossConfig, OptimConfig, create_train_state,
+                                    make_train_step)
+    from diffreg_tpu.engine.checkpoint import CheckpointManager
+
+    model = build_model()
 
     # training pool: distinct synthetic scenes. Batches are pre-built (one
     # host core), then a producer thread streams FRESH scenes into the pool
@@ -126,33 +217,7 @@ def main():
 
     step = jax.jit(make_train_step(model, LossConfig(), ocfg))
 
-    from diffreg_tpu.eval.metrics import masked_inlier_ratio
-
-    def _eval(variables, batch):
-        out = model.apply(variables, batch, jax.random.PRNGKey(99), mode="ddim")
-
-        def one(conf, mask, s_pcd, t_pcd, rot_gt, trn_gt):
-            ir = masked_inlier_ratio(mask, s_pcd, t_pcd, rot_gt, trn_gt[:, 0],
-                                     inlier_thr=0.1)
-            corrs = extract_correspondences(mask, conf, 512)
-            # 16384 covers the low-IR tail per the budget study (ROADMAP):
-            # failures past ~8k hypotheses are matcher quality, not RANSAC
-            res = ransac_pose(jax.random.PRNGKey(7), s_pcd[corrs.src_idx],
-                              t_pcd[corrs.tgt_idx], corrs.valid,
-                              distance_threshold=0.05, num_hypotheses=16384)
-            return rotation_error_deg(res.rotation[None], rot_gt[None])[0], ir
-
-        return jax.vmap(one)(out["conf_matrix_pred"], out["corr_mask"],
-                             out["s_pcd"], out["t_pcd"], batch.rot_gt,
-                             batch.trn_gt)
-
-    eval_fn = jax.jit(_eval)
-
-    def split_success(variables, batches):
-        res = [eval_fn(variables, b) for b in batches]
-        rres = np.concatenate([np.asarray(r[0]) for r in res])
-        irs = np.concatenate([np.asarray(r[1]) for r in res])
-        return float((rres < 5.0).mean()), rres, float(irs.mean())
+    split_success = make_split_success(model)
 
     variables = {"params": state.params, "buffers": state.buffers}
     s0, _, ir0 = split_success(variables, heldout)
@@ -180,6 +245,12 @@ def main():
         with open(tmp_path, "w") as f:
             json.dump(payload, f, indent=1)
         os.replace(tmp_path, os.path.join(out_dir, "metrics.json"))
+
+    # open the manager BEFORE the loop: every val improvement is persisted
+    # immediately so a killed process (tunnel stall, session death) never
+    # loses the best params again (the r4b run lost val-0.94 params that
+    # lived only in memory)
+    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
 
     deadline = time.time() + minutes * 60.0
     # materialize step keys to HOST once: indexing a device array per
@@ -223,10 +294,12 @@ def main():
             val_curve.append((i, s, irv))
             if s >= best["val"]:
                 best = {"val": s, "step": i, "variables": jax.device_get(v)}
+                ckpt_save(mgr, i, best["variables"], {"val_success": s})
             print(f"  val @{i}: success={s:.2f} IR={irv:.3f} "
                   f"(best {best['val']:.2f} @{best['step']})", flush=True)
             _dump(True, i, train_curve, val_curve,
-                  extra={"fresh_batches": fresh_used})
+                  extra={"fresh_batches": fresh_used,
+                         "selected_step": best["step"]})
 
     stop_producer.set()
     variables = {"params": state.params, "buffers": state.buffers}
@@ -235,6 +308,7 @@ def main():
     val_curve.append((i, v_fin, irv_fin))
     if v_fin >= best["val"]:
         best = {"val": v_fin, "step": i, "variables": jax.device_get(variables)}
+        ckpt_save(mgr, i, best["variables"], {"val_success": v_fin})
     # the REPORTED held-out numbers come from the val-selected checkpoint,
     # evaluated on the disjoint test split (standard selection protocol)
     sel = jax.device_put(best["variables"])
@@ -243,10 +317,8 @@ def main():
           f"val-selected @{best['step']}: test success {s1:.2f} IR {ir1:.3f} "
           f"(RRE {np.round(rres, 1)})", flush=True)
 
-    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
-    mgr.save(i, variables, {"heldout_success": s_fin})
-    mgr.save(i + 1, sel, {"heldout_success": s1,
-                          "selected_step": best["step"]})
+    ckpt_save(mgr, i + 1, jax.device_get(variables),
+              {"heldout_success": s_fin})
     _dump(False, i, train_curve, val_curve,
           extra={"heldout_success_after": s1, "heldout_ir_after": ir1,
                  "heldout_rre_deg": rres.tolist(),
@@ -259,4 +331,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from diffreg_tpu.utils.precision import set_precision
+
+    set_precision(os.environ.get("DIFFREG_PRECISION", "default"))
+    if len(sys.argv) > 1 and sys.argv[1] == "finalize":
+        finalize(sys.argv[2] if len(sys.argv) > 2 else
+                 "snapshot/train-synthetic",
+                 int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    else:
+        main()
