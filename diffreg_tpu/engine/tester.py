@@ -41,6 +41,9 @@ class TestConfig:
     # correspondence sets of 0.854 @16k / 0.979 @32k / 1.000 @65k (48 trials;
     # extra refine rounds don't move it). >=10% inlier pairs saturate by 8k,
     # so this only costs time on the metric-eval path, never the bench loop.
+    # Memory is bounded regardless of the budget: ransac_pose scores
+    # hypotheses in 16384-sized chunks, so the [H, C] distance matrix never
+    # exceeds 16384 x max_corr f32 (64 MB/pair) on device.
     ransac_hypotheses: int = 65536
     # reference 3DMatch protocol averages 3 runs (lib/tester.py:19-34)
     num_repeats: int = 3

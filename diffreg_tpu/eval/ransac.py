@@ -58,7 +58,8 @@ class RansacResult(NamedTuple):
     best_fraction: jnp.ndarray # inliers / valid corrs
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters",
+                                             "hypothesis_chunk"))
 def ransac_pose(
     rng,
     src_corr,          # [C, 3] source points of correspondences (padded)
@@ -67,6 +68,7 @@ def ransac_pose(
     distance_threshold=0.05,
     num_hypotheses=16384,
     refine_iters=2,
+    hypothesis_chunk=16384,
 ):
     """RANSAC from correspondences for ONE pair. vmap over pairs as needed."""
     c = src_corr.shape[0]
@@ -108,14 +110,37 @@ def ransac_pose(
         -2.0 * t_flat,
         -2.0 * r_h.reshape(num_hypotheses, 9),
     ], axis=1)                                           # [H, 17]
-    d2 = jnp.matmul(w, g.T, precision=jax.lax.Precision.HIGHEST)  # [H, C]
-    inlier = (d2 < distance_threshold**2) & corr_valid[None]
-    counts = jnp.where(ok_h, inlier.sum(axis=1), -1)             # [H]
+    # The [H, C] distance matrix is the only O(H*C) intermediate (65536 x
+    # 1024 f32 = 256 MB per vmapped pair) — score hypotheses in chunks so
+    # peak memory is bounded by hypothesis_chunk regardless of the budget.
+    # A single chunk (the bench path, H=8192) lowers to exactly the old
+    # one-matmul program.
+    def _count(w_chunk, ok_chunk):
+        d2 = jnp.matmul(w_chunk, g.T,
+                        precision=jax.lax.Precision.HIGHEST)     # [h, C]
+        inl = (d2 < distance_threshold**2) & corr_valid[None]
+        return jnp.where(ok_chunk, inl.sum(axis=1), -1)          # [h]
+
+    if num_hypotheses <= hypothesis_chunk:
+        counts = _count(w, ok_h)                                 # [H]
+    else:
+        n_chunks = -(-num_hypotheses // hypothesis_chunk)
+        pad = n_chunks * hypothesis_chunk - num_hypotheses
+        w_p = jnp.pad(w, ((0, pad), (0, 0)))
+        ok_p = jnp.pad(ok_h, (0, pad))                           # pads False
+        counts = jax.lax.map(
+            lambda args: _count(*args),
+            (w_p.reshape(n_chunks, hypothesis_chunk, w.shape[1]),
+             ok_p.reshape(n_chunks, hypothesis_chunk)),
+        ).reshape(-1)[:num_hypotheses]
 
     best = jnp.argmax(counts)
-    best_inliers = inlier[best]
-
     r, t = r_h[best], t_h[best]
+    # re-derive the winner's inlier row directly ([C], cheap) instead of
+    # holding the full [H, C] matrix just to index one row of it
+    warped0 = src_corr @ r.T + t.T
+    d2_best = jnp.sum((warped0 - tgt_corr) ** 2, axis=-1)
+    best_inliers = (d2_best < distance_threshold**2) & corr_valid
     # --- refinement: weighted Kabsch on the inlier set, re-evaluated ---
     for _ in range(refine_iters):
         w = (best_inliers).astype(jnp.float32)[None, :, None]

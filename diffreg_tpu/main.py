@@ -428,7 +428,10 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
         from .engine.trainer import Trainer, TrainerConfig
         from .utils.snapshot import backup_sources
 
-        backup_sources(save_dir, args.config)
+        # master process only (same guard as the 3D train path): on a
+        # shared save_dir a multi-host run would otherwise race copytree
+        if jax.process_index() == 0:
+            backup_sources(save_dir, args.config)
 
         from .engine.losses2d3d import FineLossConfig
 

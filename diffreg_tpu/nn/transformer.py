@@ -274,8 +274,14 @@ class GeometryAttentionLayer(nn.Module):
         dpad = self.head_pad or dim
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         in_dtype = x.dtype
+        # self-attention detection must happen BEFORE the dtype cast: the
+        # casts produce distinct arrays, so a post-cast `x is source` check
+        # would never fire in the bf16 production path
+        same_src = x is source
+        self_attn = same_src and x_pe is source_pe
         if dt is not None:
-            x, source = x.astype(dt), source.astype(dt)
+            x = x.astype(dt)
+            source = x if same_src else source.astype(dt)
 
         fused = (self.fused_qkv and self.pe_type == "rotary"
                  and not self.use_flash and x_pe is not None)
@@ -312,7 +318,7 @@ class GeometryAttentionLayer(nn.Module):
                 return (pe[..., 0].astype(ref_dtype),
                         pe[..., 1].astype(ref_dtype))
 
-            if x is source and x_pe is source_pe:
+            if self_attn:
                 # self-attention: ONE [C, 5*H*dpad] matmul for q/q_rot/
                 # k/k_rot/v
                 big = x @ jnp.concatenate([wq, wqr, wk, wkr, wv], axis=1)

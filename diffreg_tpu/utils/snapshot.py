@@ -28,12 +28,17 @@ def backup_sources(save_dir: str, config_path: str | None = None) -> str:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_dir = os.path.dirname(pkg_dir)
     os.makedirs(dst, exist_ok=True)
-    shutil.copytree(pkg_dir, os.path.join(dst, os.path.basename(pkg_dir)),
-                    ignore=_IGNORE)
-    configs_dir = os.path.join(repo_dir, "configs")
-    if os.path.isdir(configs_dir):
-        shutil.copytree(configs_dir, os.path.join(dst, "configs"),
+    try:
+        shutil.copytree(pkg_dir, os.path.join(dst, os.path.basename(pkg_dir)),
                         ignore=_IGNORE)
+        configs_dir = os.path.join(repo_dir, "configs")
+        if os.path.isdir(configs_dir):
+            shutil.copytree(configs_dir, os.path.join(dst, "configs"),
+                            ignore=_IGNORE)
+    except FileExistsError:
+        # isdir-then-copytree TOCTOU: a concurrent process won the race on
+        # a shared save_dir — its backup is byte-identical, keep it
+        return dst
     if config_path and os.path.isfile(config_path):
         shutil.copy2(config_path, dst)
     return dst

@@ -100,6 +100,38 @@ def test_fused_self_single_matmul_matches():
                                np.asarray(out1) * valid, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_self_single_matmul_fires_in_bf16():
+    """Regression (ADVICE r4): the self-attention detection must happen
+    before the compute_dtype cast — bf16 mode used to silently fall back to
+    the cross branch (3 projection matmuls instead of 1). Assert parity AND
+    that the traced program has exactly 2 dot_generals (5-block proj +
+    merge), not 3."""
+    d, h = 432, 4
+    x, _, xyz_x, _, x_mask, _ = _layer_io(5, d=d)
+    x_pe = volumetric_pe(xyz_x, d, (0.0, 0.0, 0.0), 0.08, "rotary")
+    base = GeometryAttentionLayer(d, h, "rotary", head_pad=128,
+                                  rotary_half=True, compute_dtype="bfloat16")
+    fused = GeometryAttentionLayer(d, h, "rotary", head_pad=128,
+                                   rotary_half=True, fused_qkv=True,
+                                   compute_dtype="bfloat16")
+    params = base.init(jax.random.PRNGKey(0), x, x, x_pe, x_pe, x_mask, x_mask)
+    out0 = base.apply(params, x, x, x_pe, x_pe, x_mask, x_mask)
+    out1 = fused.apply(params, x, x, x_pe, x_pe, x_mask, x_mask)
+    valid = np.asarray(x_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(out0) * valid,
+                               np.asarray(out1) * valid, rtol=3e-2, atol=3e-2)
+
+    def count_dots(mod):
+        jaxpr = jax.make_jaxpr(
+            lambda p: mod.apply(p, x, x, x_pe, x_pe, x_mask, x_mask))(params)
+        return sum(1 for eqn in jaxpr.jaxpr.eqns
+                   if eqn.primitive.name == "dot_general")
+
+    # base: q/k/v proj + logits + attn@v + merge (+2 in the gated FFN) = 8;
+    # fused self-attention folds q/k/v into ONE matmul = 6
+    assert count_dots(fused) == count_dots(base) - 2
+
+
 def test_fused_param_pytree_identical():
     d, h = 432, 4
     x, src, xyz_x, xyz_s, x_mask, s_mask = _layer_io(2, d=d)

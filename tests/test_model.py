@@ -159,6 +159,30 @@ class TestEval:
         assert err < 0.5, err
         assert int(res.inlier_count) >= n - n_out - 5
 
+    def test_ransac_chunked_scoring_matches_unchunked(self, rng):
+        """Chunked hypothesis scoring (memory bound for 65536-budget evals)
+        must be bit-identical to the one-matmul path: same seed -> same
+        hypothesis set -> same argmax winner."""
+        from tests.test_ops_core import random_rigid
+        r_gt, t_gt = random_rigid(rng)
+        n = 128
+        src = rng.rand(n, 3).astype(np.float32) * 2
+        tgt = ((r_gt @ src.T) + t_gt).T.astype(np.float32)
+        tgt[: n // 2] = rng.rand(n // 2, 3) * 2
+        valid = np.ones(n, bool)
+        kw = dict(distance_threshold=0.05, num_hypotheses=2048)
+        res1 = ransac_pose(jax.random.PRNGKey(3), jnp.asarray(src),
+                           jnp.asarray(tgt), jnp.asarray(valid),
+                           hypothesis_chunk=4096, **kw)  # single chunk
+        res2 = ransac_pose(jax.random.PRNGKey(3), jnp.asarray(src),
+                           jnp.asarray(tgt), jnp.asarray(valid),
+                           hypothesis_chunk=512, **kw)   # 4 chunks + pad test
+        np.testing.assert_allclose(np.asarray(res1.rotation),
+                                   np.asarray(res2.rotation), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res1.translation),
+                                   np.asarray(res2.translation), atol=1e-6)
+        assert int(res1.inlier_count) == int(res2.inlier_count)
+
     def test_nfmr_sanity(self, rng):
         from diffreg_tpu.eval import nfmr
         m = 64
