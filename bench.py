@@ -95,6 +95,15 @@ def main():
     if os.environ.get("DIFFREG_FLASH", "0") == "0":
         tf = dataclasses.replace(cfg.coarse_transformer, flash_attention=False)
         cfg = dataclasses.replace(cfg, coarse_transformer=tf)
+    else:
+        # tuned tiles from tools/tune_flash_attention.py (best on v5e at the
+        # bench shape: q128 kv768 single-pass, snapshot/chip-r5a)
+        tf = dataclasses.replace(
+            cfg.coarse_transformer,
+            flash_q_tile=int(os.environ.get("DIFFREG_FLASH_Q", "128")),
+            flash_kv_tile=int(os.environ.get("DIFFREG_FLASH_KV", "768")),
+            flash_out_f32=os.environ.get("DIFFREG_FLASH_F32OUT", "1") == "1")
+        cfg = dataclasses.replace(cfg, coarse_transformer=tf)
     # head-lane alignment A/B: DIFFREG_ALIGN_HEADS=0 forces the unpadded
     # 108-dim head split (auto policy otherwise: ON for 432/4)
     if os.environ.get("DIFFREG_ALIGN_HEADS", "") == "0":

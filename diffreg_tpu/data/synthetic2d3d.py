@@ -75,8 +75,10 @@ def synthetic_2d3d_batch(batch_size=1, img_hw=(64, 96), n_points=512, seed=0,
 
     for b in range(batch_size):
         # smooth random depth map
-        base = rng.rand(h // 8, w // 8).astype(np.float32)
-        depth = np.kron(base, np.ones((8, 8), np.float32)) * 1.5 + 1.0
+        # ceil the low-res grid and crop: h/w need not be multiples of 8
+        # (the 2d3d bench drives the 476x630-class shapes at stride-14 crops)
+        base = rng.rand(-(-h // 8), -(-w // 8)).astype(np.float32)
+        depth = (np.kron(base, np.ones((8, 8), np.float32)) * 1.5 + 1.0)[:h, :w]
         img = (depth - depth.min()) / (np.ptp(depth) + 1e-6)
 
         # back-project (host, numpy mirror of ops.vision.back_project)

@@ -453,10 +453,38 @@ def run_2d3d(args, raw, mode, batch_size, dataset_name):
             negative_radius_2d=float(fl.get("negative_radius_2d", 12.0)),
             circle=CircleLossConfig(log_scale=float(fl.get("log_scale", 24.0))),
         )
-        ocfg = OptimConfig(optimizer="adam", lr=float(raw.get("lr", 1e-4)))
+        # auto data-parallel, same policy as the 3D path (the reference
+        # auto-DDPs this trainer: vision3d/engine/base_trainer.py:196-210).
+        # lr scales with PROCESS count (each extra host adds a batch_size
+        # slice to the global batch — linear scaling rule, same convention
+        # as utils/config.py build_optim_config); in-process device sharding
+        # splits a fixed global batch, so device count does not scale lr.
+        hosts = jax.process_count()
+        lr = float(raw.get("lr", 1e-4))
+        if hosts > 1 and bool(raw.get("scale_lr_by_world", True)):
+            lr *= hosts
+        ocfg = OptimConfig(optimizer="adam", lr=lr)
         state = create_train_state_2d3d(model, probe, rng, ocfg)
-        step = jax.jit(make_train_step_2d3d(model, circle_cfg, LossConfig(), ocfg,
-                                            fine_cfg=fine_cfg))
+        world = jax.device_count()
+        if world > 1 and batch_size % world == 0:
+            from .parallel.mesh import (
+                make_mesh,
+                make_parallel_train_step_2d3d,
+                replicate,
+            )
+
+            mesh = make_mesh()
+            logger.info(f"2d3d data-parallel mesh over {world} devices")
+            state = replicate(state, mesh)
+            step = make_parallel_train_step_2d3d(
+                model, circle_cfg, LossConfig(), ocfg, mesh, fine_cfg=fine_cfg)
+        else:
+            if world > 1:
+                logger.warning(
+                    f"{world} devices but batch_size={batch_size} not "
+                    "divisible — single-device; pick a divisible batch size")
+            step = jax.jit(make_train_step_2d3d(
+                model, circle_cfg, LossConfig(), ocfg, fine_cfg=fine_cfg))
         trainer = Trainer(step, state, lambda epoch: make_iter(),
                           TrainerConfig(max_epoch=int(raw.get("max_epoch", 10)),
                                         save_dir=save_dir),

@@ -3,6 +3,7 @@ from .mesh import (
     make_mesh,
     make_parallel_eval_step,
     make_parallel_train_step,
+    make_parallel_train_step_2d3d,
     replicate,
     replicated,
     shard_batch,
@@ -15,5 +16,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_parallel_train_step",
+    "make_parallel_train_step_2d3d",
     "make_parallel_eval_step",
 ]

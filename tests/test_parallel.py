@@ -49,6 +49,57 @@ def test_sharded_matches_single_device():
     assert max(jax.tree.leaves(d)) < 2e-4
 
 
+@pytest.mark.slow
+def test_2d3d_sharded_matches_single_device():
+    """2D-3D data-parallel train step == single-device step on the same
+    batch (the reference auto-DDPs this trainer, vision3d/engine/
+    base_trainer.py:196-210)."""
+    from diffreg_tpu.data.synthetic2d3d import synthetic_2d3d_batch
+    from diffreg_tpu.engine import LossConfig, OptimConfig
+    from diffreg_tpu.engine.losses2d3d import CircleLossConfig
+    from diffreg_tpu.engine.train2d3d import (
+        create_train_state_2d3d,
+        make_train_step_2d3d,
+    )
+    from diffreg_tpu.models.pipeline_2d3d import DiffReg2D3D, Pipeline2D3DConfig
+    from diffreg_tpu.nn.matching import MatchingConfig
+    from diffreg_tpu.nn.point_backbone import PointBackboneConfig
+    from diffreg_tpu.parallel import (
+        make_mesh,
+        make_parallel_train_step_2d3d,
+        replicate,
+        shard_batch,
+    )
+
+    batch = synthetic_2d3d_batch(batch_size=4, img_hw=(32, 48), n_points=160,
+                                 seed=0)
+    cfg = Pipeline2D3DConfig(
+        img_out_dim=32, img_base_dim=16,
+        pcd_backbone=PointBackboneConfig(output_dim=32, init_dim=16,
+                                         init_radius=0.1, init_sigma=0.08),
+        hidden_dim=64, output_dim=64, num_heads=2,
+        matching=MatchingConfig(feature_dim=64), sample_steps=1)
+    model = DiffReg2D3D(cfg)
+    rng = jax.random.PRNGKey(0)
+    ocfg = OptimConfig(optimizer="adam", lr=1e-4)
+    state = create_train_state_2d3d(model, batch, rng, ocfg)
+
+    step1 = jax.jit(make_train_step_2d3d(model, CircleLossConfig(),
+                                         LossConfig(), ocfg))
+    s1, info1 = step1(state, batch, rng)
+
+    mesh = make_mesh(jax.devices()[:4])
+    stepN = make_parallel_train_step_2d3d(model, CircleLossConfig(),
+                                          LossConfig(), ocfg, mesh)
+    sN, infoN = stepN(replicate(state, mesh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(info1["loss"]), float(infoN["loss"]),
+                               rtol=2e-4)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     s1.params, sN.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+
 def test_shard_order_for_process_distributed_sampler_semantics():
     """Equal-length lockstep shards whose union covers the dataset, with the
     same shuffle on every host (torch DistributedSampler semantics —
