@@ -4,9 +4,13 @@ The reference runs its frozen towers inside MATR2D3D.forward every step
 (model.py:342-358). TPU-native design: the towers are pure functions of the
 image, so they run ONCE per sample — jitted on device, outside the training
 graph — and their outputs ride the batch (``Batch2D3D.dino_feats`` /
-``mono_depth``). This removes ~90% of the reference's frozen-tower FLOPs
-from the train loop (the towers dominate MATR2D3D compute) and keeps the
-trainable pipeline tower-agnostic.
+``mono_depth``). Measured on-chip (tools/bench_towers.py,
+snapshot/chip-r5a/bench_towers.json, v5e bf16 @476x630): DINOv2 ViT-L/14
+23.2 ms/image + DepthAnything 32.1 ms/image — running them in-loop would
+cost 26% of the combined 2D-3D step time (6.39 -> 4.72 pairs/s at
+steps=10), and at the reference's steps=50 eval config a proportionally
+larger share. Precompute removes all of it from the train/eval loop and
+keeps the trainable pipeline tower-agnostic.
 
 Weights come from tools/convert_towers.py (orbax checkpoints of the
 released torch towers). Preprocessing parity:

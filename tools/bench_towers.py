@@ -31,10 +31,24 @@ import numpy as np
 
 
 def timed(fn, *args, reps=10):
-    """Steady-state median seconds with a device->host readback barrier every
-    iteration (block_until_ready does not block on the tunneled backend)."""
+    """Steady-state median seconds, two ways: compute-only (barrier on a
+    checksum that depends on the full output but transfers ~4 bytes — the
+    honest device time) and with the full-output host readback (what the
+    precompute pipeline actually pays per sample; the tunnel moves ~40 MB/s,
+    so reading 12 MB of ViT-L tokens would otherwise be billed as compute).
+    block_until_ready does not block on the tunneled backend."""
+    small = jax.jit(lambda *a: jnp.sum(jax.tree.leaves(fn(*a))[0]
+                                       .astype(jnp.float32)))
+    np.asarray(small(*args))                     # compile + warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(small(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    compute = ts[len(ts) // 2]
     out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])          # compile + warmup
+    np.asarray(jax.tree.leaves(out)[0])          # warmup the full path
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -42,7 +56,7 @@ def timed(fn, *args, reps=10):
         np.asarray(jax.tree.leaves(out)[0])
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return ts[len(ts) // 2]
+    return compute, ts[len(ts) // 2]
 
 
 def main():
@@ -70,10 +84,12 @@ def main():
                          if jnp.issubdtype(s.dtype, jnp.floating)
                          else jnp.zeros(s.shape, s.dtype), dvars)
     dino_fn = jax.jit(lambda v, x: dino.apply(v, x.astype(jnp.bfloat16))[0])
-    s = timed(dino_fn, dvars, img, reps=reps)
+    s, s_rb = timed(dino_fn, dvars, img, reps=reps)
     results["dino_vitl14_ms_per_image_bf16"] = s * 1000 / batch
-    print(f"DINOv2 ViT-L/14 bf16: {s*1000/batch:.1f} ms/image "
-          f"({batch/s:.2f} img/s)", flush=True)
+    results["dino_vitl14_ms_per_image_with_readback"] = s_rb * 1000 / batch
+    print(f"DINOv2 ViT-L/14 bf16: {s*1000/batch:.1f} ms/image compute "
+          f"({batch/s:.2f} img/s); {s_rb*1000/batch:.1f} with token readback",
+          flush=True)
 
     # --- DepthAnything (ViT-L/14 encoder + DPT head) ---------------------
     da = DepthAnything(vit_cfg, DPTConfig())
@@ -82,10 +98,12 @@ def main():
                          if jnp.issubdtype(s.dtype, jnp.floating)
                          else jnp.zeros(s.shape, s.dtype), avars)
     da_fn = jax.jit(lambda v, x: da.apply(v, x.astype(jnp.bfloat16)))
-    s = timed(da_fn, avars, img, reps=reps)
+    s, s_rb = timed(da_fn, avars, img, reps=reps)
     results["depth_anything_ms_per_image_bf16"] = s * 1000 / batch
-    print(f"DepthAnything bf16: {s*1000/batch:.1f} ms/image "
-          f"({batch/s:.2f} img/s)", flush=True)
+    results["depth_anything_ms_per_image_with_readback"] = s_rb * 1000 / batch
+    print(f"DepthAnything bf16: {s*1000/batch:.1f} ms/image compute "
+          f"({batch/s:.2f} img/s); {s_rb*1000/batch:.1f} with map readback",
+          flush=True)
 
     # --- amortization: combine with the committed matcher-loop number ----
     loop_json = os.path.join(os.path.dirname(os.path.dirname(
