@@ -18,7 +18,11 @@ Finalize: python tools/train_synthetic.py finalize [out_dir] [batch_size]
           re-runs the test-split eval, flipping metrics.json partial->False.
 Env: DIFFREG_POOL (pool slots), DIFFREG_FRESH=0 (disable streaming),
      DIFFREG_EVAL_EVERY, DIFFREG_RATE_EST (steps/s estimate for the cosine
-     horizon), DIFFREG_PRECISION.
+     horizon), DIFFREG_PRECISION, DIFFREG_RESUME=1 (restore the best-val
+     checkpoint from out_dir and CONTINUE training — a fine-tune leg with a
+     fresh optimizer and the usual cosine schedule over the new time budget;
+     step numbering and metric curves continue from the prior run so
+     checkpoints never collide and the artifact stays one story).
 """
 from __future__ import annotations
 
@@ -211,6 +215,41 @@ def main():
     ocfg = OptimConfig(optimizer="adam", lr=1e-3, scheduler="warmup_cosine",
                        warmup_steps=300, total_steps=horizon, eta_min=0.1)
     state = create_train_state(model, pool[0], rng, ocfg)
+
+    # DIFFREG_RESUME=1: continue a prior run in this out_dir from its
+    # best-val checkpoint. Optimizer moments were not checkpointed (the
+    # saved tree is {params, buffers} only), so this is a warm-started
+    # fine-tune leg: fresh adam + warmup_cosine over the NEW time budget,
+    # which in practice behaves like a restart-anneal.
+    start_step = 0
+    prev_train_curve, prev_val_curve = [], []
+    prev_before = None
+    if os.environ.get("DIFFREG_RESUME", "0") == "1":
+        mgr0 = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        rstep = mgr0.best_step("val_success")
+        if rstep is None:
+            rstep = mgr0.latest_step()
+        if rstep is not None:
+            template = {"params": state.params, "buffers": state.buffers}
+            restored = mgr0.restore(template, rstep)
+            state = state._replace(params=restored["params"],
+                                   buffers=restored["buffers"])
+            start_step = int(rstep)
+            mpath = os.path.join(out_dir, "metrics.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    prior = json.load(f)
+                prev_train_curve = [tuple(x) for x in prior.get("train_curve", [])
+                                    if x[0] <= start_step]
+                prev_val_curve = [tuple(x) for x in prior.get("val_curve", [])
+                                  if x[0] <= start_step]
+                prev_before = (prior.get("heldout_success_before"),
+                               prior.get("heldout_ir_before"))
+            print(f"resumed from best-val checkpoint @{start_step}", flush=True)
+        else:
+            print("DIFFREG_RESUME=1 but no checkpoint found; fresh run",
+                  flush=True)
+
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.2f}M, pool pairs: {n_pool*batch_size}",
           flush=True)
@@ -224,6 +263,10 @@ def main():
     v0, _, irv0 = split_success(variables, val_batches)
     print(f"held-out(test) success@5deg before training: {s0:.2f} "
           f"IR={ir0:.3f} (val {v0:.2f})", flush=True)
+    if prev_before is not None and prev_before[0] is not None:
+        # resumed leg: the story's "before" numbers stay the ORIGINAL
+        # untrained baseline, not the warm-start point
+        s0, ir0 = prev_before
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -231,9 +274,9 @@ def main():
         # written at EVERY val so a terminal tunnel stall cannot lose the
         # run; the final write flips partial->False and adds the held-out
         # summary fields the story test thresholds
-        payload = {"steps": i, "heldout_success_before": s0,
+        payload = {"steps": start_step + i, "heldout_success_before": s0,
                    "heldout_ir_before": ir0,
-                   "epochs": i / max(epoch_steps, 1),
+                   "epochs": (start_step + i) / max(epoch_steps, 1),
                    "train_curve": train_curve, "val_curve": val_curve,
                    "pool_pairs": n_pool * batch_size, "partial": partial}
         if val_curve and partial:
@@ -259,9 +302,11 @@ def main():
     keys = np.asarray(jax.random.split(rng, 200_000))
     epoch_steps = n_pool      # one pass over the pool
     eval_every = int(os.environ.get("DIFFREG_EVAL_EVERY", "2000"))
-    train_curve = []          # [(step, loss)]
-    val_curve = [(0, v0, irv0)]  # [(step, VAL success@5deg, VAL mean IR)]
-    best = {"val": v0, "step": 0,
+    train_curve = list(prev_train_curve)      # [(step, loss)]
+    val_curve = list(prev_val_curve) or [(0, v0, irv0)]
+    if start_step and (not val_curve or val_curve[-1][0] < start_step):
+        val_curve.append((start_step, v0, irv0))
+    best = {"val": v0, "step": start_step,
             "variables": jax.device_get(variables)}
     fresh_used = 0
     slot = 0
@@ -282,20 +327,21 @@ def main():
                 pool[slot] = jax.device_put(nb)
                 slot = (slot + 1) % n_pool
                 fresh_used += 1
+        g = start_step + i
         if i % 200 == 0:
             loss = float(info["loss"])           # readback barrier
-            train_curve.append((i, loss))
-            print(f"step {i}: loss={loss:.4f} "
+            train_curve.append((g, loss))
+            print(f"step {g}: loss={loss:.4f} "
                   f"({(time.time()-t0)/i:.2f}s/step, "
                   f"{fresh_used} fresh batches)", flush=True)
         if i % eval_every == 0:
             v = {"params": state.params, "buffers": state.buffers}
             s, _, irv = split_success(v, val_batches)
-            val_curve.append((i, s, irv))
+            val_curve.append((g, s, irv))
             if s >= best["val"]:
-                best = {"val": s, "step": i, "variables": jax.device_get(v)}
-                ckpt_save(mgr, i, best["variables"], {"val_success": s})
-            print(f"  val @{i}: success={s:.2f} IR={irv:.3f} "
+                best = {"val": s, "step": g, "variables": jax.device_get(v)}
+                ckpt_save(mgr, g, best["variables"], {"val_success": s})
+            print(f"  val @{g}: success={s:.2f} IR={irv:.3f} "
                   f"(best {best['val']:.2f} @{best['step']})", flush=True)
             _dump(True, i, train_curve, val_curve,
                   extra={"fresh_batches": fresh_used,
@@ -305,10 +351,12 @@ def main():
     variables = {"params": state.params, "buffers": state.buffers}
     s_fin, rres_fin, ir_fin = split_success(variables, heldout)
     v_fin, _, irv_fin = split_success(variables, val_batches)
-    val_curve.append((i, v_fin, irv_fin))
+    val_curve.append((start_step + i, v_fin, irv_fin))
     if v_fin >= best["val"]:
-        best = {"val": v_fin, "step": i, "variables": jax.device_get(variables)}
-        ckpt_save(mgr, i, best["variables"], {"val_success": v_fin})
+        best = {"val": v_fin, "step": start_step + i,
+                "variables": jax.device_get(variables)}
+        ckpt_save(mgr, start_step + i, best["variables"],
+                  {"val_success": v_fin})
     # the REPORTED held-out numbers come from the val-selected checkpoint,
     # evaluated on the disjoint test split (standard selection protocol)
     sel = jax.device_put(best["variables"])
@@ -317,7 +365,7 @@ def main():
           f"val-selected @{best['step']}: test success {s1:.2f} IR {ir1:.3f} "
           f"(RRE {np.round(rres, 1)})", flush=True)
 
-    ckpt_save(mgr, i + 1, jax.device_get(variables),
+    ckpt_save(mgr, start_step + i + 1, jax.device_get(variables),
               {"heldout_success": s_fin})
     _dump(False, i, train_curve, val_curve,
           extra={"heldout_success_after": s1, "heldout_ir_after": ir1,
