@@ -181,6 +181,40 @@ def main():
     ocfg = OptimConfig(optimizer="adam", lr=5e-4, scheduler="warmup_cosine",
                        warmup_steps=200, total_steps=horizon, eta_min=0.1)
     state = create_train_state_2d3d(model, pool[0], rng, ocfg)
+
+    # DIFFREG_RESUME=1: continue a prior run in this out_dir from its
+    # best-val checkpoint — warm-started fine-tune leg (optimizer moments
+    # were not checkpointed), same scheme as tools/train_synthetic.py
+    start_step = 0
+    prev_train_curve, prev_val_curve = [], []
+    prev_before = None
+    if os.environ.get("DIFFREG_RESUME", "0") == "1":
+        mgr0 = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        rstep = mgr0.best_step("val_rr")
+        if rstep is None:
+            rstep = mgr0.latest_step()
+        if rstep is not None:
+            template = {"params": state.params, "buffers": state.buffers}
+            restored = mgr0.restore(template, rstep)
+            state = state._replace(params=restored["params"],
+                                   buffers=restored["buffers"])
+            start_step = int(rstep)
+            mpath = os.path.join(out_dir, "metrics.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    prior = json.load(f)
+                prev_train_curve = [tuple(x) for x in prior.get("train_curve", [])
+                                    if x[0] <= start_step]
+                prev_val_curve = [tuple(x) for x in prior.get("val_curve", [])
+                                  if x[0] <= start_step]
+                prev_before = (prior.get("heldout_rr_before"),
+                               prior.get("heldout_ir_before"),
+                               prior.get("heldout_fmr_before"))
+            print(f"resumed from best-val checkpoint @{start_step}", flush=True)
+        else:
+            print("DIFFREG_RESUME=1 but no checkpoint found; fresh run",
+                  flush=True)
+
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.2f}M, pool pairs: {n_pool*batch_size}",
           flush=True)
@@ -195,14 +229,17 @@ def main():
     vrr0, vir0, _ = split_eval(variables, val_batches)
     print(f"held-out(test) before: RR={rr0:.3f} IR={ir0:.3f} FMR={fmr0:.3f} "
           f"(val RR={vrr0:.3f} IR={vir0:.3f})", flush=True)
+    if prev_before is not None and prev_before[0] is not None:
+        # resumed leg: keep the ORIGINAL untrained baseline as "before"
+        rr0, ir0, fmr0 = prev_before
 
     os.makedirs(out_dir, exist_ok=True)
     epoch_steps = n_pool
 
     def _dump(partial: bool, i, train_curve, val_curve, extra=None):
-        payload = {"steps": i, "heldout_rr_before": rr0,
+        payload = {"steps": start_step + i, "heldout_rr_before": rr0,
                    "heldout_ir_before": ir0, "heldout_fmr_before": fmr0,
-                   "epochs": i / max(epoch_steps, 1),
+                   "epochs": (start_step + i) / max(epoch_steps, 1),
                    "train_curve": train_curve, "val_curve": val_curve,
                    "pool_pairs": n_pool * batch_size, "partial": partial,
                    "variant": "2d3d"}
@@ -220,9 +257,11 @@ def main():
     deadline = time.time() + minutes * 60.0
     keys = np.asarray(jax.random.split(rng, 200_000))
     eval_every = int(os.environ.get("DIFFREG_EVAL_EVERY", "500"))
-    train_curve = []                # [(step, loss)]
-    val_curve = [(0, vrr0, vir0)]   # [(step, VAL RR, VAL IR)]
-    best = {"key": (vrr0, vir0), "step": 0,
+    train_curve = list(prev_train_curve)   # [(step, loss)]
+    val_curve = list(prev_val_curve) or [(0, vrr0, vir0)]
+    if start_step and (not val_curve or val_curve[-1][0] < start_step):
+        val_curve.append((start_step, vrr0, vir0))
+    best = {"key": (vrr0, vir0), "step": start_step,
             "variables": jax.device_get(variables)}
     fresh_used = 0
     slot = 0
@@ -240,21 +279,22 @@ def main():
                 pool[slot] = jax.device_put(nb)
                 slot = (slot + 1) % n_pool
                 fresh_used += 1
+        g = start_step + i
         if i % 100 == 0:
             loss = float(info["loss"])           # readback barrier
-            train_curve.append((i, loss))
-            print(f"step {i}: loss={loss:.4f} "
+            train_curve.append((g, loss))
+            print(f"step {g}: loss={loss:.4f} "
                   f"({(time.time()-t0)/i:.2f}s/step, "
                   f"{fresh_used} fresh batches)", flush=True)
         if i % eval_every == 0:
             v = {"params": state.params, "buffers": state.buffers}
             vrr, vir, _ = split_eval(v, val_batches)
-            val_curve.append((i, vrr, vir))
+            val_curve.append((g, vrr, vir))
             if (vrr, vir) >= best["key"]:
-                best = {"key": (vrr, vir), "step": i,
+                best = {"key": (vrr, vir), "step": g,
                         "variables": jax.device_get(v)}
-                ckpt_save(mgr, i, best["variables"], {"val_rr": vrr})
-            print(f"  val @{i}: RR={vrr:.3f} IR={vir:.3f} "
+                ckpt_save(mgr, g, best["variables"], {"val_rr": vrr})
+            print(f"  val @{g}: RR={vrr:.3f} IR={vir:.3f} "
                   f"(best {best['key']} @{best['step']})", flush=True)
             _dump(True, i, train_curve, val_curve,
                   extra={"fresh_batches": fresh_used,
@@ -263,17 +303,19 @@ def main():
     stop_producer.set()
     variables = {"params": state.params, "buffers": state.buffers}
     vrr_fin, vir_fin, _ = split_eval(variables, val_batches)
-    val_curve.append((i, vrr_fin, vir_fin))
+    val_curve.append((start_step + i, vrr_fin, vir_fin))
     if (vrr_fin, vir_fin) >= best["key"]:
-        best = {"key": (vrr_fin, vir_fin), "step": i,
+        best = {"key": (vrr_fin, vir_fin), "step": start_step + i,
                 "variables": jax.device_get(variables)}
-        ckpt_save(mgr, i, best["variables"], {"val_rr": vrr_fin})
+        ckpt_save(mgr, start_step + i, best["variables"],
+                  {"val_rr": vrr_fin})
     sel = jax.device_put(best["variables"])
     rr1, ir1, fmr1 = split_eval(sel, heldout)
     print(f"val-selected @{best['step']}: test RR {rr1:.3f} IR {ir1:.3f} "
           f"FMR {fmr1:.3f}", flush=True)
 
-    ckpt_save(mgr, i + 1, jax.device_get(variables), {"final": 1.0})
+    ckpt_save(mgr, start_step + i + 1, jax.device_get(variables),
+              {"final": 1.0})
     _dump(False, i, train_curve, val_curve,
           extra={"heldout_rr_after": rr1, "heldout_ir_after": ir1,
                  "heldout_fmr_after": fmr1,

@@ -232,6 +232,39 @@ def main():
     ocfg = OptimConfig(optimizer="adam", lr=1e-3, scheduler="warmup_cosine",
                        warmup_steps=300, total_steps=horizon, eta_min=0.1)
     state = create_train_state(model, pool[0], rng, ocfg)
+
+    # DIFFREG_RESUME=1: continue a prior run in this out_dir from its
+    # best-val(NFMR) checkpoint — warm-started fine-tune leg (optimizer
+    # moments were not checkpointed), same scheme as tools/train_synthetic.py
+    start_step = 0
+    prev_train_curve, prev_val_curve = [], []
+    prev_before = None
+    if os.environ.get("DIFFREG_RESUME", "0") == "1":
+        mgr0 = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        rstep = mgr0.best_step("val_nfmr")
+        if rstep is None:
+            rstep = mgr0.latest_step()
+        if rstep is not None:
+            template = {"params": state.params, "buffers": state.buffers}
+            restored = mgr0.restore(template, rstep)
+            state = state._replace(params=restored["params"],
+                                   buffers=restored["buffers"])
+            start_step = int(rstep)
+            mpath = os.path.join(out_dir, "metrics.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    prior = json.load(f)
+                prev_train_curve = [tuple(x) for x in prior.get("train_curve", [])
+                                    if x[0] <= start_step]
+                prev_val_curve = [tuple(x) for x in prior.get("val_curve", [])
+                                  if x[0] <= start_step]
+                prev_before = (prior.get("heldout_ir_before"),
+                               prior.get("heldout_nfmr_before"))
+            print(f"resumed from best-val checkpoint @{start_step}", flush=True)
+        else:
+            print("DIFFREG_RESUME=1 but no checkpoint found; fresh run",
+                  flush=True)
+
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.2f}M, pool pairs: {n_pool*batch_size}",
           flush=True)
@@ -245,14 +278,17 @@ def main():
     vir0, vnf0 = split_metrics(variables, val_batches)
     print(f"held-out(test) before: IR={ir0:.3f} NFMR={nfmr0:.3f} "
           f"(val IR={vir0:.3f} NFMR={vnf0:.3f})", flush=True)
+    if prev_before is not None and prev_before[0] is not None:
+        # resumed leg: keep the ORIGINAL untrained baseline as "before"
+        ir0, nfmr0 = prev_before
 
     os.makedirs(out_dir, exist_ok=True)
     epoch_steps = n_pool
 
     def _dump(partial, i, train_curve, val_curve, extra=None):
-        payload = {"steps": i, "heldout_ir_before": ir0,
+        payload = {"steps": start_step + i, "heldout_ir_before": ir0,
                    "heldout_nfmr_before": nfmr0,
-                   "epochs": i / max(epoch_steps, 1),
+                   "epochs": (start_step + i) / max(epoch_steps, 1),
                    "train_curve": train_curve, "val_curve": val_curve,
                    "pool_pairs": n_pool * batch_size, "partial": partial,
                    "variant": "4dmatch"}
@@ -272,9 +308,12 @@ def main():
     deadline = time.time() + minutes * 60.0
     keys = np.asarray(jax.random.split(rng, 200_000))
     eval_every = int(os.environ.get("DIFFREG_EVAL_EVERY", "2000"))
-    train_curve = []                       # [(step, loss)]
-    val_curve = [(0, vir0, vnf0)]          # [(step, VAL IR, VAL NFMR)]
-    best = {"val": vnf0, "step": 0, "variables": jax.device_get(variables)}
+    train_curve = list(prev_train_curve)   # [(step, loss)]
+    val_curve = list(prev_val_curve) or [(0, vir0, vnf0)]
+    if start_step and (not val_curve or val_curve[-1][0] < start_step):
+        val_curve.append((start_step, vir0, vnf0))
+    best = {"val": vnf0, "step": start_step,
+            "variables": jax.device_get(variables)}
     fresh_used = 0
     slot = 0
     i = 0
@@ -291,19 +330,20 @@ def main():
                 pool[slot] = jax.device_put(nb)
                 slot = (slot + 1) % n_pool
                 fresh_used += 1
+        g = start_step + i
         if i % 200 == 0:
             loss = float(info["loss"])
-            train_curve.append((i, loss))
-            print(f"step {i}: loss={loss:.4f} ({(time.time()-t0)/i:.2f}s/step,"
+            train_curve.append((g, loss))
+            print(f"step {g}: loss={loss:.4f} ({(time.time()-t0)/i:.2f}s/step,"
                   f" {fresh_used} fresh batches)", flush=True)
         if i % eval_every == 0:
             v = {"params": state.params, "buffers": state.buffers}
             vir, vnf = split_metrics(v, val_batches)
-            val_curve.append((i, vir, vnf))
+            val_curve.append((g, vir, vnf))
             if vnf >= best["val"]:
-                best = {"val": vnf, "step": i, "variables": jax.device_get(v)}
-                ckpt_save(mgr, i, best["variables"], {"val_nfmr": vnf})
-            print(f"  val @{i}: IR={vir:.3f} NFMR={vnf:.3f} "
+                best = {"val": vnf, "step": g, "variables": jax.device_get(v)}
+                ckpt_save(mgr, g, best["variables"], {"val_nfmr": vnf})
+            print(f"  val @{g}: IR={vir:.3f} NFMR={vnf:.3f} "
                   f"(best {best['val']:.3f} @{best['step']})", flush=True)
             _dump(True, i, train_curve, val_curve,
                   extra={"fresh_batches": fresh_used,
@@ -313,18 +353,19 @@ def main():
     variables = {"params": state.params, "buffers": state.buffers}
     ir_fin, nfmr_fin = split_metrics(variables, heldout)
     vir_fin, vnf_fin = split_metrics(variables, val_batches)
-    val_curve.append((i, vir_fin, vnf_fin))
+    val_curve.append((start_step + i, vir_fin, vnf_fin))
     if vnf_fin >= best["val"]:
-        best = {"val": vnf_fin, "step": i,
+        best = {"val": vnf_fin, "step": start_step + i,
                 "variables": jax.device_get(variables)}
-        ckpt_save(mgr, i, best["variables"], {"val_nfmr": vnf_fin})
+        ckpt_save(mgr, start_step + i, best["variables"],
+                  {"val_nfmr": vnf_fin})
     sel = jax.device_put(best["variables"])
     ir1, nfmr1 = split_metrics(sel, heldout)
     print(f"final params: test IR {ir_fin:.3f} NFMR {nfmr_fin:.3f}; "
           f"val-selected @{best['step']}: test IR {ir1:.3f} NFMR {nfmr1:.3f}",
           flush=True)
 
-    ckpt_save(mgr, i + 1, jax.device_get(variables),
+    ckpt_save(mgr, start_step + i + 1, jax.device_get(variables),
               {"heldout_nfmr": nfmr_fin})
     _dump(False, i, train_curve, val_curve,
           extra={"heldout_ir_after": ir1, "heldout_nfmr_after": nfmr1,
