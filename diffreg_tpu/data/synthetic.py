@@ -37,8 +37,18 @@ def make_pair(
     noise: float = 0.005,
     max_rot_deg: float = 45.0,
     deformable: bool = False,
+    flow_amp: float = 0.05,
+    scale: float = 1.0,
 ):
-    """Returns (src, tgt, rot, trn, scene_flow|None)."""
+    """Returns (src, tgt, rot, trn, scene_flow|None).
+
+    ``flow_amp`` sets the deformation amplitude (pre-``scale`` units) and
+    ``scale`` rescales the whole scene (points, flow, translation) at the
+    end. The 4DMatch story uses scale=1/6 so the coarse-pyramid spacing
+    matches the reference's 0.01-voxel config (4dmatch.yaml:9) relative to
+    the ABSOLUTE 0.04 m protocol thresholds (lib/tester.py:241) — at the
+    default scale the oracle IR@0.04 ceiling is ~0.2 (resolution-bound).
+    """
     base = make_cloud(rng, n_points)
     # partial overlap: drop a directional slab from each side
     d = rng.randn(3)
@@ -51,7 +61,7 @@ def make_pair(
     flow = None
     if deformable:
         # smooth sinusoidal deformation field
-        flow_all = 0.05 * np.sin(base * 3.0)[:, ::-1]
+        flow_all = flow_amp * np.sin(base * 3.0)[:, ::-1]
         flow = flow_all[proj <= hi].astype(np.float32)
         tgt_base = tgt_base + flow_all[proj >= lo]
 
@@ -64,8 +74,15 @@ def make_pair(
     trn = (rng.randn(3, 1) * 0.3).astype(np.float32)
 
     tgt = (rot @ tgt_base.T + trn).T + rng.randn(len(tgt_base), 3) * noise
-    return (src.astype(np.float32), tgt.astype(np.float32), rot, trn,
-            flow if deformable else None)
+    if scale != 1.0:
+        src = src * scale
+        tgt = tgt * scale
+        trn = trn * scale
+        if flow is not None:
+            flow = flow * scale
+    return (src.astype(np.float32), tgt.astype(np.float32), rot,
+            trn.astype(np.float32),
+            flow.astype(np.float32) if deformable else None)
 
 
 def tiny_spec(n0: int = 256, levels: int = 4) -> ShapeSpec:
